@@ -1,0 +1,190 @@
+"""Problem generators used as test and benchmark fixtures.
+
+``n_queens_lp`` mirrors the reference's streaming n-queens LP generator
+(reference: lib/include/baryonyx/core-test:31-115). The random SCP / SPP /
+assignment generators stand in for the OR-Library benchmark instances,
+which the reference fetches over the network (reference:
+benchmarks/download.sh) and therefore cannot ship here.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional
+
+
+def n_queens_lp(n: int, costs: Optional[List[float]] = None) -> str:
+    """n-queens as a 0-1 LP: n² binaries, one-per-row/column equalities,
+    at-most-one per diagonal (reference: core-test:31-115). ``costs``
+    optionally assigns one objective coefficient per cell, matching the
+    randomized-cost regression tests (reference: lib/test/optimize.cpp:89-166)."""
+    if n < 3:
+        raise ValueError("n_queens needs n >= 3")
+
+    def var(i: int, j: int) -> str:
+        return f"x_{i}_{j}"
+
+    out: List[str] = ["minimize"]
+    if costs is None:
+        out.append(" + ".join(var(i, j) for i in range(n) for j in range(n)))
+    else:
+        assert len(costs) == n * n
+        out.append(
+            " ".join(
+                f"+ {costs[i * n + j]} {var(i, j)}" for i in range(n) for j in range(n)
+            )
+        )
+    out.append("subject to")
+    for i in range(n):
+        out.append(" + ".join(var(i, j) for j in range(n)) + " = 1")
+    for j in range(n):
+        out.append(" + ".join(var(i, j) for i in range(n)) + " = 1")
+
+    diags: List[List[str]] = []
+    # down-right diagonals
+    for d in range(1, n - 1):
+        diags.append([var(d + t, t) for t in range(n - d)])
+    for d in range(0, n - 1):
+        diags.append([var(t, d + t) for t in range(n - d)])
+    # up-right diagonals
+    for d in range(1, n):
+        diags.append([var(d - t, t) for t in range(d + 1)])
+    for d in range(1, n - 1):
+        diags.append([var(n - 1 - t, d + t) for t in range(n - d)])
+    for cells in diags:
+        if len(cells) > 1:
+            out.append(" + ".join(cells) + " <= 1")
+
+    out.append("binary")
+    out.append(" ".join(var(i, j) for i in range(n) for j in range(n)))
+    out.append("end")
+    return "\n".join(out) + "\n"
+
+
+def random_set_cover_lp(
+    m: int,
+    n: int,
+    density: float = 0.1,
+    cost_range=(1, 100),
+    seed: int = 0,
+) -> str:
+    """OR-Library-style set covering: minimize c·x s.t. Ax >= 1, A in {0,1}.
+
+    Every row gets at least 2 covering columns and every column covers at
+    least one row, so the instance is feasible (x = 1 is always a cover).
+    """
+    rng = random.Random(seed)
+    rows: List[List[int]] = [[] for _ in range(m)]
+    for k in range(m):
+        for j in range(n):
+            if rng.random() < density:
+                rows[k].append(j)
+        while len(rows[k]) < 2:
+            j = rng.randrange(n)
+            if j not in rows[k]:
+                rows[k].append(j)
+    costs = [rng.randint(*cost_range) for _ in range(n)]
+
+    out = ["minimize"]
+    out.append(" ".join(f"+ {costs[j]} x{j}" for j in range(n)))
+    out.append("subject to")
+    for k in range(m):
+        out.append("c%d: " % k + " + ".join(f"x{j}" for j in sorted(rows[k])) + " >= 1")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(n)))
+    out.append("end")
+    return "\n".join(out) + "\n"
+
+
+def random_set_partition_lp(
+    m: int,
+    n_blocks: int,
+    block_size: int = 3,
+    cost_range=(1, 100),
+    extra_columns: int = 0,
+    seed: int = 0,
+) -> str:
+    """Set partitioning: minimize c·x s.t. Ax = 1 per row.
+
+    Built feasible by construction: ``n_blocks`` disjoint columns exactly
+    partition the m rows, then ``extra_columns`` random overlapping columns
+    are added as decoys (like SPP crew-scheduling instances).
+    """
+    rng = random.Random(seed)
+    elements = list(range(m))
+    rng.shuffle(elements)
+    cols: List[List[int]] = []
+    # partition columns
+    chunk = max(1, m // n_blocks)
+    i = 0
+    while i < m:
+        cols.append(sorted(elements[i : i + chunk]))
+        i += chunk
+    # decoy columns
+    for _ in range(extra_columns):
+        size = rng.randint(1, max(1, block_size))
+        cols.append(sorted(rng.sample(range(m), min(size, m))))
+    costs = [rng.randint(*cost_range) for _ in cols]
+
+    out = ["minimize"]
+    out.append(" ".join(f"+ {costs[j]} x{j}" for j in range(len(cols))))
+    out.append("subject to")
+    for k in range(m):
+        members = [j for j, col in enumerate(cols) if k in col]
+        out.append("c%d: " % k + " + ".join(f"x{j}" for j in members) + " = 1")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(len(cols))))
+    out.append("end")
+    return "\n".join(out) + "\n"
+
+
+def random_assignment_lp(n: int, cost_range=(1, 100), seed: int = 0) -> str:
+    """n×n assignment problem: each agent/task exactly one match."""
+    rng = random.Random(seed)
+
+    def var(i: int, j: int) -> str:
+        return f"a{i}_{j}"
+
+    out = ["minimize"]
+    out.append(
+        " ".join(
+            f"+ {rng.randint(*cost_range)} {var(i, j)}"
+            for i in range(n)
+            for j in range(n)
+        )
+    )
+    out.append("subject to")
+    for i in range(n):
+        out.append(" + ".join(var(i, j) for j in range(n)) + " = 1")
+    for j in range(n):
+        out.append(" + ".join(var(i, j) for i in range(n)) + " = 1")
+    out.append("binary")
+    out.append(" ".join(var(i, j) for i in range(n) for j in range(n)))
+    out.append("end")
+    return "\n".join(out) + "\n"
+
+
+def random_knapsack_101_lp(
+    n: int, m: int = 4, cost_range=(1, 50), seed: int = 0
+) -> str:
+    """Inequality instance with ±1 coefficients (exercises the 101 kernel):
+    maximize c·x subject to mixed-sign rows with slack bounds."""
+    rng = random.Random(seed)
+    out = ["maximize"]
+    out.append(" ".join(f"+ {rng.randint(*cost_range)} x{j}" for j in range(n)))
+    out.append("subject to")
+    for k in range(m):
+        terms = []
+        npos = 0
+        for j in rng.sample(range(n), max(2, n // 2)):
+            if rng.random() < 0.3:
+                terms.append(f"- x{j}")
+            else:
+                terms.append(f"+ x{j}")
+                npos += 1
+        rhs = max(1, npos // 2)
+        out.append(" ".join(terms) + f" <= {rhs}")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(n)))
+    out.append("end")
+    return "\n".join(out) + "\n"
