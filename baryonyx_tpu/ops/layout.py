@@ -1,0 +1,159 @@
+"""Blocked constraint-matrix layout in HBM.
+
+The reference stores the constraint matrix twice — CSR-like rows and
+CSC-like columns sharing per-element ids so the preference matrix P is
+addressable from both views (reference: lib/src/sparse-matrix.hpp:86-206).
+
+The TPU-native equivalent is a padded dense layout (SURVEY.md section 2.1):
+the element id (k, s) is simply the position in the padded row matrix, P
+lives as a dense ``[m, Kr]`` array, and the column view holds, per
+variable, the (row, slot) coordinates of every element that touches it, so
+column walks become 2-D gathers ``P[col_rows[j], col_slots[j]]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from baryonyx_tpu.preprocess.merge import MergedConstraint
+
+_INT_MIN = -(2**31)
+_INT_MAX = 2**31 - 1
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CompiledProblem:
+    """Padded device arrays for one problem instance.
+
+    Shapes: ``m`` constraints × up to ``Kr`` variables per row; ``n``
+    variables × up to ``Kc`` rows per column. Padded row slots carry
+    ``row_mask == False`` and variable index 0; padded column slots carry
+    ``col_mask == False`` and (row, slot) = (0, 0).
+    """
+
+    # row view [m, Kr]
+    row_vars: jax.Array  # int32: variable index per element
+    row_factor: jax.Array  # float: a_kj (±1 for 01/101 problems)
+    row_mask: jax.Array  # bool
+    # column view [n, Kc]
+    col_rows: jax.Array  # int32: row index per element
+    col_slots: jax.Array  # int32: row-slot per element
+    col_mask: jax.Array  # bool
+    # per-row data [m]
+    bmin: jax.Array  # int32: clamped lower bound
+    bmax: jax.Array  # int32: clamped upper bound
+    neg_count: jax.Array  # int32: number of negative factors (c_size)
+    r_size: jax.Array  # int32: row length
+    is_eq: jax.Array  # bool: merged min == max
+
+    # static metadata
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    Kr: int = dataclasses.field(metadata=dict(static=True))
+    Kc: int = dataclasses.field(metadata=dict(static=True))
+    has_z: bool = dataclasses.field(metadata=dict(static=True))
+
+
+def compile_problem(
+    constraints: List[MergedConstraint],
+    n_variables: int,
+    dtype: Any = jnp.float32,
+) -> CompiledProblem:
+    """Build the padded row/column views from merged constraints.
+
+    Bound clamping mirrors the solver constructors: for a row with
+    ``min != max``, the feasible activity interval is intersected with
+    [-(number of negative factors), +(number of positive ones)] for ±1
+    coefficients (reference: itm-solver-inequalities-101.cpp:117-125) which
+    degenerates to [0, row length] for 0/1 rows
+    (reference: itm-solver-inequalities-01.cpp:97-106).
+    """
+    m = len(constraints)
+    n = n_variables
+    if m == 0:
+        raise ValueError("cannot compile a problem with no constraints")
+
+    Kr = max(len(c.elements) for c in constraints)
+    col_count = np.zeros(n, dtype=np.int64)
+    for c in constraints:
+        for el in c.elements:
+            col_count[el.variable_index] += 1
+    Kc = int(col_count.max()) if n else 1
+
+    row_vars = np.zeros((m, Kr), dtype=np.int32)
+    row_factor = np.zeros((m, Kr), dtype=np.float64)
+    row_mask = np.zeros((m, Kr), dtype=bool)
+    col_rows = np.zeros((n, Kc), dtype=np.int32)
+    col_slots = np.zeros((n, Kc), dtype=np.int32)
+    col_mask = np.zeros((n, Kc), dtype=bool)
+    bmin = np.zeros(m, dtype=np.int32)
+    bmax = np.zeros(m, dtype=np.int32)
+    neg_count = np.zeros(m, dtype=np.int32)
+    r_size = np.zeros(m, dtype=np.int32)
+    is_eq = np.zeros(m, dtype=bool)
+
+    col_fill = np.zeros(n, dtype=np.int64)
+    has_z = False
+
+    for k, cst in enumerate(constraints):
+        npos = nneg = 0
+        possum = negsum = 0
+        for s, el in enumerate(cst.elements):
+            row_vars[k, s] = el.variable_index
+            row_factor[k, s] = el.factor
+            row_mask[k, s] = True
+            if abs(el.factor) > 1:
+                has_z = True
+            if el.factor > 0:
+                npos += 1
+                possum += el.factor
+            elif el.factor < 0:
+                nneg += 1
+                negsum += el.factor
+            j = el.variable_index
+            col_rows[j, col_fill[j]] = k
+            col_slots[j, col_fill[j]] = s
+            col_mask[j, col_fill[j]] = True
+            col_fill[j] += 1
+
+        r_size[k] = len(cst.elements)
+        neg_count[k] = nneg
+        if cst.min == cst.max:
+            is_eq[k] = True
+            bmin[k] = bmax[k] = cst.min
+        else:
+            lo = negsum  # sum of negative factors = minimum activity
+            hi = possum  # sum of positive factors = maximum activity
+            bmin[k] = max(lo, cst.min) if cst.min != _INT_MIN else lo
+            bmax[k] = min(hi, cst.max) if cst.max != _INT_MAX else hi
+            if bmin[k] > bmax[k]:
+                raise ValueError(f"constraint {cst.id}: empty bound interval")
+
+    return CompiledProblem(
+        row_vars=jnp.asarray(row_vars),
+        row_factor=jnp.asarray(row_factor, dtype=dtype),
+        row_mask=jnp.asarray(row_mask),
+        col_rows=jnp.asarray(col_rows),
+        col_slots=jnp.asarray(col_slots),
+        col_mask=jnp.asarray(col_mask),
+        bmin=jnp.asarray(bmin),
+        bmax=jnp.asarray(bmax),
+        neg_count=jnp.asarray(neg_count),
+        r_size=jnp.asarray(r_size),
+        is_eq=jnp.asarray(is_eq),
+        m=m,
+        n=n,
+        Kr=Kr,
+        Kc=Kc,
+        has_z=has_z,
+    )
