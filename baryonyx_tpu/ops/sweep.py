@@ -37,7 +37,7 @@ semantics of the reference where the last writer wins.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +188,7 @@ def sweep(
     theta: jax.Array,
     key: jax.Array,
     obj_amp: jax.Array,
+    n_rows: Optional[jax.Array] = None,
     minimize: bool = True,
     block_size: int = 8,
     process_all: bool = False,
@@ -197,13 +198,21 @@ def sweep(
     ``order`` is an int32 permutation of row ids padded to a multiple of
     ``block_size`` with the sentinel ``m``; only rows with ``viol`` set are
     updated unless ``process_all`` (the pi_sign_change policy processes
-    every row — reference: itm-common.hpp:667-671).
+    every row — reference: itm-common.hpp:667-671). When the caller
+    compacts the scheduled rows to the front of ``order`` it can pass
+    ``n_rows`` to bound the block loop dynamically — late sweeps with few
+    violated rows then cost O(remaining) instead of O(m).
 
     Returns (x, P, pi, new_violated_mask, remaining_count).
     """
     m, n = cp.m, cp.n
     B = block_size
-    n_blocks = order.shape[0] // B
+    if n_rows is None:
+        n_blocks = order.shape[0] // B
+    else:
+        n_blocks = jnp.minimum(
+            (n_rows + B - 1) // B, jnp.asarray(order.shape[0] // B, n_rows.dtype)
+        )
     dtype = P.dtype
 
     upd = functools.partial(

@@ -13,6 +13,7 @@ normal sweeps.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -106,6 +107,26 @@ def _step(
     mp = _m_pad(m, block_size)
     order = common.make_order(cp, st.order_code, st.x, st.pi, k_order, mp)
     process_all = st.order_code == common.ORDER_CODES[ConstraintOrder.pi_sign_change]
+    if push_amp is not None:
+        # The push sweep re-runs rows with objective-amplified reduced
+        # costs. The reference only walks the previously-violated list,
+        # which is empty right after feasibility — making its solve-mode
+        # push a no-op under the default ordering (the list is refilled by
+        # compute_violated_constraints, itm-common.hpp:102-115, before the
+        # push starts). We process every row instead, which is what the
+        # reference's pi_sign_change policy does and what makes the push
+        # actually improve the incumbent.
+        process_all = True
+    eff_viol = st.viol | process_all
+
+    # compact scheduled rows to the front (stable, preserving policy order)
+    # so the block loop runs ceil(remaining / B) steps instead of m / B
+    sched = jnp.concatenate([eff_viol, jnp.zeros((1,), bool)])[
+        jnp.minimum(order, m)
+    ]
+    compact = jnp.argsort(~sched, stable=True)
+    order = order[compact]
+    n_rows = jnp.sum(sched.astype(jnp.int32))
 
     amp = jnp.asarray(0, dtype) if push_amp is None else push_amp
     kappa_eff = st.kappa if push_amp is None else st.kappa * hp["pushing_k_factor"]
@@ -116,13 +137,14 @@ def _step(
         P=st.P,
         pi=st.pi,
         cost=cost_norm,
-        viol=st.viol | process_all,
+        viol=eff_viol,
         order=order,
         kappa=kappa_eff,
         delta=hp["delta"],
         theta=hp["theta"],
         key=k_sweep,
         obj_amp=amp,
+        n_rows=n_rows,
         minimize=minimize,
         block_size=block_size,
     )
@@ -145,9 +167,9 @@ def _step(
     best_x = jnp.where(improves, x, st.best_x)
     best_remaining = jnp.where(
         improves, jnp.where(feasible, 0, remaining), st.best_remaining
-    )
+    ).astype(jnp.int32)
     best_value = jnp.where(improves & feasible, value, st.best_value)
-    best_loop = jnp.where(improves, st.loop, st.best_loop)
+    best_loop = jnp.where(improves, st.loop, st.best_loop).astype(jnp.int32)
 
     # kappa annealing after warmup w (reference: :152-155); the push phase
     # anneals on its own inner counter (reference: :196-200) and the push
@@ -193,30 +215,18 @@ def _step(
     )
 
 
-def make_runner(
-    cp: CompiledProblem,
-    cost_norm: np.ndarray,
-    cost_orig: np.ndarray,
-    cost_constant: float,
-    params: SolverParameters,
-    minimize: bool,
-    dtype,
-):
-    """Build the jitted chunk runners. Returns (run_chunk, run_push_round).
-
-    ``run_chunk(state, n_iters)``: up to n_iters annealed sweeps, stopping
-    early on feasibility / kappa_max / global limit.
-    ``run_push_round(state)``: one objective-amplified sweep + up to
-    ``pushing_iteration_limit`` normal sweeps
-    (reference: itm-solver-common.hpp:171-213).
-    """
-    cn = jnp.asarray(cost_norm, dtype)
-    co = jnp.asarray(cost_orig, dtype)
-    cc = jnp.asarray(cost_constant, dtype)
-    m = cp.m
-
-    hp = dict(
-        delta=None,  # filled below
+def make_hyper(
+    params: SolverParameters, cost_norm: np.ndarray, dtype
+) -> dict:
+    """Device hyperparameter bundle (traced pytree, so different values hit
+    the same compiled executable)."""
+    delta = (
+        common.compute_delta(cost_norm, params.theta)
+        if params.delta < 0
+        else params.delta
+    )
+    return dict(
+        delta=jnp.asarray(delta, dtype),
         theta=jnp.asarray(params.theta, dtype),
         kappa_step=jnp.asarray(params.kappa_step, dtype),
         kappa_max=jnp.asarray(params.kappa_max, dtype),
@@ -226,73 +236,92 @@ def make_runner(
         pushing_objective_amplifier=jnp.asarray(
             params.pushing_objective_amplifier, dtype
         ),
+        limit=jnp.asarray(min(params.limit, 2**31 - 1), jnp.int32),
         use_cycle=jnp.asarray(params.order == ConstraintOrder.cycle, bool),
     )
-    delta = (
-        common.compute_delta(cost_norm, params.theta)
-        if params.delta < 0
-        else params.delta
-    )
-    hp["delta"] = jnp.asarray(delta, dtype)
 
-    limit = params.limit
-    block_size = params.block_size
 
-    def step_fn(st, push_amp=None, anneal_counter=None):
-        return _step(
-            cp, cn, co, cc, st, hp, minimize, block_size, push_amp, anneal_counter
+@functools.partial(jax.jit, static_argnames=("minimize", "block_size"))
+def run_chunk(
+    cp: CompiledProblem,
+    cost_norm: jax.Array,
+    cost_orig: jax.Array,
+    cost_constant: jax.Array,
+    hp: dict,
+    st: DeviceState,
+    n_iters: jax.Array,
+    minimize: bool,
+    block_size: int,
+) -> DeviceState:
+    """Up to n_iters annealed sweeps, stopping early on feasibility /
+    kappa_max / global limit (reference: itm-solver-common.hpp:135-166).
+    Module-level and jitted on (problem shape, minimize, block_size) only,
+    so repeated solves and restarts reuse the compiled executable."""
+    start_loop = st.loop
+
+    def cond(st):
+        return (st.stop_reason == STOP_RUNNING) & (st.loop - start_loop < n_iters)
+
+    def body(st):
+        st = _step(
+            cp, cost_norm, cost_orig, cost_constant, st, hp,
+            minimize, block_size, None, anneal_counter=st.loop,
         )
+        reason = jnp.where(
+            st.remaining == 0,
+            STOP_FEASIBLE,
+            jnp.where(
+                st.kappa > hp["kappa_max"],
+                STOP_KAPPA,
+                jnp.where(st.loop >= hp["limit"], STOP_LIMIT, STOP_RUNNING),
+            ),
+        )
+        return st._replace(stop_reason=reason.astype(jnp.int32))
 
-    @jax.jit
-    def run_chunk(st: DeviceState, n_iters: jax.Array) -> DeviceState:
-        start_loop = st.loop
+    return jax.lax.while_loop(cond, body, st)
 
-        def cond(st):
-            return (
-                (st.stop_reason == STOP_RUNNING)
-                & (st.loop - start_loop < n_iters)
-            )
 
-        def body(st):
-            st = step_fn(st, anneal_counter=st.loop)
-            reason = jnp.where(
-                st.remaining == 0,
-                STOP_FEASIBLE,
-                jnp.where(
-                    st.kappa > hp["kappa_max"],
-                    STOP_KAPPA,
-                    jnp.where(st.loop >= limit, STOP_LIMIT, STOP_RUNNING),
-                ),
-            )
-            return st._replace(stop_reason=reason.astype(jnp.int32))
+@functools.partial(
+    jax.jit, static_argnames=("minimize", "block_size", "push_iters")
+)
+def run_push_round(
+    cp: CompiledProblem,
+    cost_norm: jax.Array,
+    cost_orig: jax.Array,
+    cost_constant: jax.Array,
+    hp: dict,
+    st: DeviceState,
+    minimize: bool,
+    block_size: int,
+    push_iters: int,
+) -> DeviceState:
+    """One objective-amplified sweep + up to ``push_iters`` normal sweeps
+    (reference: itm-solver-common.hpp:171-213)."""
+    st = _step(
+        cp, cost_norm, cost_orig, cost_constant, st, hp,
+        minimize, block_size, hp["pushing_objective_amplifier"],
+    )
+    st = st._replace(stop_reason=jnp.asarray(STOP_RUNNING, jnp.int32))
 
-        return jax.lax.while_loop(cond, body, st)
+    def cond(c):
+        st, it = c
+        return (it < push_iters) & (st.stop_reason == STOP_RUNNING)
 
-    @jax.jit
-    def run_push_round(st: DeviceState) -> DeviceState:
-        # one amplified sweep
-        st = step_fn(st, push_amp=hp["pushing_objective_amplifier"])
+    def body(c):
+        st, it = c
+        st = _step(
+            cp, cost_norm, cost_orig, cost_constant, st, hp,
+            minimize, block_size, None, anneal_counter=it,
+        )
+        stop = jnp.where(
+            st.remaining == 0,
+            STOP_FEASIBLE,
+            jnp.where(st.kappa > hp["kappa_max"], STOP_KAPPA, STOP_RUNNING),
+        )
+        return st._replace(stop_reason=stop.astype(jnp.int32)), it + 1
 
-        # inner normal sweeps; stop on feasible / kappa_max
-        def cond(c):
-            st, it = c
-            return (it < params.pushing_iteration_limit) & (st.stop_reason == 0)
-
-        def body(c):
-            st, it = c
-            st = step_fn(st, anneal_counter=it)
-            stop = jnp.where(
-                st.remaining == 0,
-                STOP_FEASIBLE,
-                jnp.where(st.kappa > hp["kappa_max"], STOP_KAPPA, STOP_RUNNING),
-            )
-            return st._replace(stop_reason=stop.astype(jnp.int32)), it + 1
-
-        st = st._replace(stop_reason=jnp.asarray(STOP_RUNNING, jnp.int32))
-        st, _ = jax.lax.while_loop(cond, body, (st, jnp.asarray(0, jnp.int32)))
-        return st
-
-    return run_chunk, run_push_round
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.asarray(0, jnp.int32)))
+    return st
 
 
 def solve_compiled(
@@ -333,9 +362,10 @@ def solve_compiled(
         order_code = 0
     st = make_initial_state(cp, x0, params, key, dtype, order_code, minimize)
 
-    run_chunk, run_push_round = make_runner(
-        cp, cost_norm, cost_orig, pb.objective.value, params, minimize, dtype
-    )
+    cn = jnp.asarray(cost_norm, dtype)
+    co = jnp.asarray(cost_orig, dtype)
+    cc = jnp.asarray(pb.objective.value, dtype)
+    hp = make_hyper(params, cost_norm, dtype)
 
     def time_left() -> bool:
         return (
@@ -346,7 +376,11 @@ def solve_compiled(
     # main annealed loop, in host-dispatched chunks
     timed_out = False
     while True:
-        st = run_chunk(st, jnp.asarray(params.chunk_size, jnp.int32))
+        st = run_chunk(
+            cp, cn, co, cc, hp, st,
+            jnp.asarray(params.chunk_size, jnp.int32),
+            minimize=minimize, block_size=params.block_size,
+        )
         reason = int(st.stop_reason)
         if reason != STOP_RUNNING:
             break
@@ -357,7 +391,11 @@ def solve_compiled(
     if reason == STOP_FEASIBLE and not timed_out:
         # push phase (reference: :171-213)
         for _ in range(params.pushes_limit):
-            st = run_push_round(st)
+            st = run_push_round(
+                cp, cn, co, cc, hp, st,
+                minimize=minimize, block_size=params.block_size,
+                push_iters=params.pushing_iteration_limit,
+            )
             if not time_left():
                 timed_out = True
                 break
