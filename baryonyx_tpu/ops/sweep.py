@@ -1,37 +1,45 @@
-"""The Wedelin "in-the-middle" sweep as masked dense updates.
+"""The Wedelin "in-the-middle" sweep as masked dense updates, lane-major.
 
-One sweep = one pass over the (previously violated) constraints, applying
-the per-row dual update. The reference is strictly row-sequential
-(Gauss-Seidel: each row sees the P/pi/x effects of the previous row via
-column walks — reference: itm-solver-inequalities-01.cpp:258-296). Here
-rows are processed in blocks of ``block_size``: Jacobi inside a block
-(every row computes from the same snapshot), sequential across blocks via
-``lax.fori_loop`` — ``block_size=1`` reproduces the reference exactly,
-larger blocks trade per-row sequencing for VPU width (SURVEY.md section 7).
+One sweep = one pass over the scheduled constraints, applying the per-row
+dual update. The reference is strictly row-sequential (Gauss-Seidel: each
+row update sees the P/pi/x effects of the previous row via column walks —
+reference: itm-solver-inequalities-01.cpp:258-296). Here rows are
+processed in blocks of ``block_size``: Jacobi inside a block, sequential
+across blocks via ``lax.fori_loop`` — ``block_size=1`` reproduces the
+reference's sequencing exactly (SURVEY.md section 7).
 
-Per-row update (reference: itm-common.hpp:382-467 ``affect``,
-itm-solver-*.cpp ``compute_update_row``):
+TPU layout — replicas on lanes. All solver state carries a trailing
+replica axis R (the multi-start axis that replaces the reference's thread
+pool): ``x[n,R]``, ``P[m,Kr,R]``, ``pi[m,R]``. Row/column indices are
+shared across replicas, so every gather/scatter in the hot loop moves
+R-lane vectors (hundreds of bytes per element) instead of 4-byte scalars
+— the difference between an HBM-bound kernel and a latency-bound one.
 
+The reference's column walks (sum of a*pi and a*P over every row touching
+a variable — reference: itm-solver-equalities-101.cpp:161-195) become two
+maintained column-sum arrays ``S_api[n,R]`` and ``S_p[n,R]``, recomputed
+exactly at sweep entry and updated incrementally after each row block
+(the updates are row-local: pi changes only for the processed row, P only
+for its elements), so reduced costs are a single [B,Kr,R] gather.
+
+Per-row update (reference: itm-common.hpp:382-467 ``affect``):
 1. decay preferences  P[k,:] *= theta
-2. reduced costs      r_s = c[j] - sum_{k' in col(j)} a_k'j pi_k'
-                                  - sum_{k' in col(j)} a_k'j P[k',s']
-   sign-flipped for negative factors a_kj < 0
-3. sort r ascending (minimize; descending for maximize) with random
-   tie-breaks (reference: calculator_sort + random_shuffle_unique,
-   itm-common.hpp:117-148) — realized as a two-key ``lax.sort``
-4. select: equalities take the first  bk + c_size  entries; inequalities
-   walk positions [bkmin+c_size, min(bkmax+c_size, r_size)] and stop at the
-   first reduced cost of blocking sign, a Bernoulli(0.5) coin deciding at
-   exactly zero (reference: select_variables + stop_iterating,
-   itm-common.hpp:150-163)
+2. reduced costs      r_s = c[j] - S_api[j] - S_p[j] (own-row decay
+   corrected), sign-flipped where a_kj < 0
+3. two-key lax.sort (value, random) == sort + shuffle of equal runs
+   (reference: calculator_sort, itm-common.hpp:117-148)
+4. select: equalities take the first bk + c_size entries; inequalities
+   walk [bkmin+c_size, min(bkmax+c_size, r_size)] and stop at the first
+   blocking-sign reduced cost, a Bernoulli(0.5) coin deciding at exactly
+   zero (reference: select_variables + stop_iterating)
 5. affect: chosen elements (sorted rank <= selected) set their variable
-   (negative factors invert) and get P += d, unchosen the opposite; the
-   middle case also moves pi_k by the mean of the straddling reduced costs
-   (reference: itm-common.hpp:382-467); d = delta + kappa/(1-kappa) * gap
+   (negative factors invert) and get P += d, the rest the opposite; the
+   middle case moves pi_k by the mean of the straddling reduced costs;
+   d = delta + kappa/(1-kappa) * gap
 
 x-write conflicts inside a block resolve in favor of the later row in
-block order (a priority-encoded scatter-max), matching the sequential
-semantics of the reference where the last writer wins.
+block order (priority-encoded scatter-max), matching sequential
+last-writer-wins semantics.
 """
 
 from __future__ import annotations
@@ -46,217 +54,200 @@ from baryonyx_tpu.ops.layout import CompiledProblem
 
 
 def activities(cp: CompiledProblem, x: jax.Array) -> jax.Array:
-    """Row activities A x as a [m] vector."""
-    vals = x[cp.row_vars].astype(cp.row_factor.dtype)
-    return jnp.sum(jnp.where(cp.row_mask, cp.row_factor * vals, 0), axis=1)
+    """Row activities A x. x: [n] or [n, R] → [m] or [m, R]."""
+    xg = x[cp.row_vars]  # [m, Kr] or [m, Kr, R]
+    a = cp.row_factor
+    mask = cp.row_mask
+    if x.ndim == 2:
+        a = a[:, :, None]
+        mask = mask[:, :, None]
+    return jnp.sum(jnp.where(mask, a * xg.astype(cp.row_factor.dtype), 0), axis=1)
 
 
 def violated_mask(cp: CompiledProblem, x: jax.Array) -> jax.Array:
     """Rows whose activity falls outside [bmin, bmax]
-    (reference: is_valid_constraint / compute_violated_constraints,
-    itm-common.hpp:76-115)."""
+    (reference: is_valid_constraint, itm-common.hpp:76-115).
+    x: [n] → [m]; x: [n, R] → [m, R]."""
     act = activities(cp, x)
-    return (act < cp.bmin.astype(act.dtype)) | (act > cp.bmax.astype(act.dtype))
+    bmin = cp.bmin.astype(act.dtype)
+    bmax = cp.bmax.astype(act.dtype)
+    if x.ndim == 2:
+        bmin = bmin[:, None]
+        bmax = bmax[:, None]
+    return (act < bmin) | (act > bmax)
 
 
-def _row_update(
-    cp: CompiledProblem,
-    P: jax.Array,
-    pi: jax.Array,
-    cost: jax.Array,
-    k: jax.Array,
-    key: jax.Array,
-    kappa,
-    delta,
-    theta,
-    obj_amp,
-    minimize: bool,
-):
-    """Compute one row's update from the current (P, pi) snapshot.
-
-    Returns (vars [Kr], slot_mask [Kr], new_bits [Kr], new_P_row [Kr],
-    new_pi_k scalar).
-    """
-    Kr = cp.Kr
-    dtype = P.dtype
-
-    vars_ = cp.row_vars[k]  # [Kr]
-    a = cp.row_factor[k]  # [Kr]
-    mask = cp.row_mask[k]  # [Kr]
-    P_row = P[k]  # [Kr]
-
-    # column walks: for each variable of the row, sum a*pi and a*P over all
-    # rows touching it (reference: compute_reduced_costs,
-    # itm-solver-equalities-101.cpp:161-195)
-    crows = cp.col_rows[vars_]  # [Kr, Kc]
-    cslots = cp.col_slots[vars_]  # [Kr, Kc]
-    cmask = cp.col_mask[vars_]  # [Kr, Kc]
-    ca = cp.row_factor[crows, cslots]  # [Kr, Kc]
-    sum_a_pi = jnp.sum(jnp.where(cmask, ca * pi[crows], 0), axis=1)
-    sum_a_p = jnp.sum(jnp.where(cmask, ca * P[crows, cslots], 0), axis=1)
-    # the reference decays P[k,:] *= theta BEFORE the column walks; the
-    # walks above saw the un-decayed own-row values, so correct in place
-    theta = jnp.asarray(theta, dtype)
-    sum_a_p = sum_a_p + a * (theta - 1) * P_row
-    P_dec = theta * P_row
-
-    r = cost[vars_] - sum_a_pi - sum_a_p
-    r = jnp.where(a < 0, -r, r)
-    # push mode amplifies by the (normalized) objective
-    # (reference: push_and_compute_update_row,
-    # itm-solver-equalities-101.cpp:230-234)
-    r = r + jnp.asarray(obj_amp, dtype) * cost[vars_]
-
-    # sort with random tie-breaks: two-key sort (value, random) == sort then
-    # shuffle equal runs
-    big = jnp.asarray(jnp.inf if minimize else -jnp.inf, dtype)
-    keyvals = jnp.where(mask, r, big)
-    sortvals = keyvals if minimize else -keyvals
-    tie_key, coin_key = jax.random.split(key)
-    tb = jax.random.uniform(tie_key, (Kr,), dtype=jnp.float32)
-    slots = jax.lax.broadcasted_iota(jnp.int32, (Kr,), 0)
-    sorted_v, _, sorted_slot = jax.lax.sort((sortvals, tb, slots), num_keys=2)
-    Rs = sorted_v if minimize else -sorted_v  # sorted reduced costs
-    rank = jnp.zeros((Kr,), jnp.int32).at[sorted_slot].set(slots)
-
-    r_size = cp.r_size[k]
-    c_size = cp.neg_count[k]
-    bkmin = cp.bmin[k]
-    bkmax = cp.bmax[k]
-
-    # equalities: first bk + c_size entries
-    # (reference: itm-solver-equalities-101.cpp:196-206)
-    sel_eq = jnp.minimum(bkmin + c_size, r_size) - 1
-
-    # inequalities: walk [bkmin+c_size, min(bkmax+c_size, r_size)], stop at
-    # the first blocking-sign entry (coin flip at exactly 0)
-    # (reference: itm-solver-inequalities-101.cpp:235-248)
-    lo = bkmin + c_size
-    hi = jnp.minimum(bkmax + c_size, r_size)
-    pos = slots
-    coin = jax.random.bernoulli(coin_key, 0.5, (Kr,))
-    if minimize:
-        stop = (Rs > 0) | ((Rs == 0) & coin)
-    else:
-        stop = (Rs < 0) | ((Rs == 0) & coin)
-    cand = stop & (pos >= lo) & (pos <= hi)
-    first = jnp.argmax(cand)  # index of first True (0 if none)
-    sel_ineq = jnp.where(jnp.any(cand), first - 1, hi - 1)
-
-    selected = jnp.where(cp.is_eq[k], sel_eq, sel_ineq)
-
-    # affect (reference: itm-common.hpp:382-467)
-    case_none = selected < 0
-    case_all = selected + 1 >= r_size
-    selc = jnp.clip(selected, 0, Kr - 1)
-    selc1 = jnp.clip(selected + 1, 0, Kr - 1)
-    kappa = jnp.asarray(kappa, dtype)
-    kp = kappa / (1 - kappa)
-    delta = jnp.asarray(delta, dtype)
-    half = jnp.asarray(0.5, dtype)
-    mid = jnp.asarray(1.5, dtype)
-    d = delta + kp * jnp.where(
-        case_none,
-        Rs[0] * half,
-        jnp.where(case_all, Rs[selc] * mid, Rs[selc1] - Rs[selc]),
-    )
-    new_pi_k = pi[k] + jnp.where(
-        case_none | case_all, jnp.asarray(0, dtype), (Rs[selc] + Rs[selc1]) * half
-    )
-
-    chosen = rank <= selected  # per original slot
-    s = jnp.where(chosen, jnp.asarray(1, dtype), jnp.asarray(-1, dtype))
-    new_P_row = P_dec + s * jnp.sign(a) * d
-    new_bits = (s * a > 0).astype(jnp.int32)
-
-    return vars_, mask, new_bits, new_P_row, new_pi_k
+def column_sums(
+    cp: CompiledProblem, P: jax.Array, pi: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact S_api[j] = sum_k a_kj pi_k and S_p[j] = sum_k a_kj P[k,s(k,j)]
+    via one scatter-add over all elements. P: [m,Kr,R], pi: [m,R]."""
+    R = pi.shape[-1]
+    a = cp.row_factor[:, :, None]  # [m, Kr, 1]
+    contrib_api = (a * pi[:, None, :]).reshape(-1, R)
+    contrib_p = (a * P).reshape(-1, R)
+    idx = jnp.where(cp.row_mask, cp.row_vars, cp.n).reshape(-1)
+    zeros = jnp.zeros((cp.n, R), P.dtype)
+    S_api = zeros.at[idx].add(contrib_api, mode="drop")
+    S_p = zeros.at[idx].add(contrib_p, mode="drop")
+    return S_api, S_p
 
 
-@functools.partial(
-    jax.jit, static_argnames=("minimize", "block_size", "process_all")
-)
+@functools.partial(jax.jit, static_argnames=("minimize", "block_size"))
 def sweep(
     cp: CompiledProblem,
-    x: jax.Array,
-    P: jax.Array,
-    pi: jax.Array,
-    cost: jax.Array,
-    viol: jax.Array,
-    order: jax.Array,
-    kappa: jax.Array,
-    delta: jax.Array,
-    theta: jax.Array,
+    x: jax.Array,  # int32[n, R]
+    P: jax.Array,  # f[m, Kr, R]
+    pi: jax.Array,  # f[m, R]
+    cost: jax.Array,  # f[n]
+    sched: jax.Array,  # bool[m, R] — which (row, replica) to process
+    order: jax.Array,  # int32[mp] — shared row permutation, sentinel m padding
+    kappa: jax.Array,  # f[R]
+    delta: jax.Array,  # f scalar
+    theta: jax.Array,  # f scalar
     key: jax.Array,
-    obj_amp: jax.Array,
+    obj_amp: jax.Array,  # f[R] — 0 disables the push amplification
     n_rows: Optional[jax.Array] = None,
     minimize: bool = True,
     block_size: int = 8,
-    process_all: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """One full pass over the scheduled rows.
+    """One full pass over the scheduled rows for all replicas.
 
-    ``order`` is an int32 permutation of row ids padded to a multiple of
-    ``block_size`` with the sentinel ``m``; only rows with ``viol`` set are
-    updated unless ``process_all`` (the pi_sign_change policy processes
-    every row — reference: itm-common.hpp:667-671). When the caller
-    compacts the scheduled rows to the front of ``order`` it can pass
-    ``n_rows`` to bound the block loop dynamically — late sweeps with few
-    violated rows then cost O(remaining) instead of O(m).
+    When the caller compacts the scheduled rows (union over replicas) to
+    the front of ``order``, ``n_rows`` bounds the block loop dynamically.
 
-    Returns (x, P, pi, new_violated_mask, remaining_count).
-    """
-    m, n = cp.m, cp.n
+    Returns (x, P, pi, new_violated [m,R], remaining [R])."""
+    m, n, Kr = cp.m, cp.n, cp.Kr
     B = block_size
+    mp = order.shape[0]
     if n_rows is None:
-        n_blocks = order.shape[0] // B
+        n_blocks = mp // B
     else:
         n_blocks = jnp.minimum(
-            (n_rows + B - 1) // B, jnp.asarray(order.shape[0] // B, n_rows.dtype)
+            (n_rows + B - 1) // B, jnp.asarray(mp // B, n_rows.dtype)
         )
     dtype = P.dtype
+    R = pi.shape[-1]
 
-    upd = functools.partial(
-        _row_update,
-        cp,
-        cost=cost,
-        kappa=kappa,
-        delta=delta,
-        theta=theta,
-        obj_amp=obj_amp,
-        minimize=minimize,
-    )
+    theta = jnp.asarray(theta, dtype)
+    delta = jnp.asarray(delta, dtype)
+    kappa = jnp.asarray(kappa, dtype)
+    kp = kappa / (1 - kappa)  # [R]
+    amp = jnp.asarray(obj_amp, dtype)  # [R]
+    big = jnp.asarray(jnp.inf if minimize else -jnp.inf, dtype)
+    one = jnp.asarray(1, dtype)
+    half = jnp.asarray(0.5, dtype)
+    mid = jnp.asarray(1.5, dtype)
+
+    S_api, S_p = column_sums(cp, P, pi)
 
     def block_body(b, carry):
-        x, P, pi = carry
-        rows = jax.lax.dynamic_slice(order, (b * B,), (B,))
+        x, P, pi, S_api, S_p = carry
+        kb = jax.random.fold_in(key, b)
+        k_tie, k_coin = jax.random.split(kb)
+
+        rows = jax.lax.dynamic_slice(order, (b * B,), (B,))  # [B]
         rows_c = jnp.minimum(rows, m - 1)
-        valid = rows < m
-        if not process_all:
-            valid = valid & viol[rows_c]
+        row_ok = rows < m  # [B]
+        valid = sched[rows_c] & row_ok[:, None]  # [B, R]
 
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, b * B + i))(
-            jnp.arange(B)
+        vars0 = cp.row_vars[rows_c]  # [B, Kr]
+        a = cp.row_factor[rows_c]  # [B, Kr]
+        mask = cp.row_mask[rows_c]  # [B, Kr]
+        a3 = a[:, :, None]
+        P_rows = P[rows_c]  # [B, Kr, R]
+
+        gvars = jnp.where(mask, vars0, 0)
+        Sa = S_api[gvars]  # [B, Kr, R]
+        Sp = S_p[gvars]  # [B, Kr, R]
+        c_v = cost[gvars]  # [B, Kr]
+
+        # own-row decay correction: the reference decays P[k,:] *= theta
+        # before the column walk; S_p still holds the un-decayed values
+        Sp = Sp + a3 * (theta - 1) * P_rows
+        P_dec = theta * P_rows
+
+        r = c_v[:, :, None] - Sa - Sp
+        r = jnp.where(a3 < 0, -r, r)
+        r = r + amp[None, None, :] * c_v[:, :, None]
+
+        keyvals = jnp.where(mask[:, :, None], r, big)
+        sortv = keyvals if minimize else -keyvals
+        tb = jax.random.uniform(k_tie, (B, Kr, R), dtype=jnp.float32)
+        slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
+        sv, _, sslot = jax.lax.sort((sortv, tb, slots), dimension=1, num_keys=2)
+        Rs = sv if minimize else -sv  # [B, Kr, R] sorted reduced costs
+        rank = jnp.argsort(sslot, axis=1)  # inverse permutation
+
+        r_size = cp.r_size[rows_c][:, None]  # [B, 1]
+        c_size = cp.neg_count[rows_c][:, None]
+        bkmin = cp.bmin[rows_c][:, None]
+        bkmax = cp.bmax[rows_c][:, None]
+        is_eq = cp.is_eq[rows_c][:, None]
+
+        sel_eq = jnp.minimum(bkmin + c_size, r_size) - 1  # [B, 1]
+
+        lo = (bkmin + c_size)[:, :, None]  # [B, 1, 1]
+        hi = jnp.minimum(bkmax + c_size, r_size)[:, :, None]
+        coin = jax.random.bernoulli(k_coin, 0.5, (B, Kr, R))
+        if minimize:
+            stop = (Rs > 0) | ((Rs == 0) & coin)
+        else:
+            stop = (Rs < 0) | ((Rs == 0) & coin)
+        pos = slots
+        cand = stop & (pos >= lo) & (pos <= hi)
+        first = jnp.argmax(cand, axis=1)  # [B, R]
+        any_c = jnp.any(cand, axis=1)
+        sel_ineq = jnp.where(any_c, first - 1, hi[:, 0, :] - 1)
+        selected = jnp.where(is_eq, sel_eq, sel_ineq)  # [B, R]
+
+        selc = jnp.clip(selected, 0, Kr - 1)
+        selc1 = jnp.clip(selected + 1, 0, Kr - 1)
+        Rs_sel = jnp.take_along_axis(Rs, selc[:, None, :], axis=1)[:, 0, :]
+        Rs_sel1 = jnp.take_along_axis(Rs, selc1[:, None, :], axis=1)[:, 0, :]
+        Rs0 = Rs[:, 0, :]
+
+        case_none = selected < 0
+        case_all = selected + 1 >= r_size
+        d = delta + kp[None, :] * jnp.where(
+            case_none, Rs0 * half, jnp.where(case_all, Rs_sel * mid, Rs_sel1 - Rs_sel)
         )
-        vars_, mask, bits, new_P_rows, new_pi = jax.vmap(
-            lambda k, kk: upd(P, pi, k=k, key=kk)
-        )(rows_c, keys)
+        dpi = jnp.where(
+            case_none | case_all, jnp.asarray(0, dtype), (Rs_sel + Rs_sel1) * half
+        )  # [B, R]
 
-        upd_rows = jnp.where(valid, rows_c, m)  # out-of-bounds → dropped
-        P = P.at[upd_rows].set(new_P_rows, mode="drop")
-        pi = pi.at[upd_rows].set(new_pi, mode="drop")
+        chosen = rank <= selected[:, None, :]  # [B, Kr, R]
+        s = jnp.where(chosen, one, -one)
+        new_P = P_dec + s * jnp.sign(a3) * d[:, None, :]
+        bits = (s * a3 > 0).astype(jnp.int32)
 
-        # priority scatter: the later row in block order wins conflicting
-        # x writes, matching sequential last-writer-wins semantics
-        prio = jax.lax.broadcasted_iota(jnp.int32, (B, cp.Kr), 0)
-        slot_ok = mask & valid[:, None]
-        enc = jnp.where(slot_ok, prio * 2 + bits, -1)
-        tgt = jnp.where(slot_ok, vars_, n)
-        tmp = jnp.full((n,), -1, jnp.int32).at[tgt.reshape(-1)].max(
-            enc.reshape(-1), mode="drop"
+        vmask = valid[:, None, :] & mask[:, :, None]  # [B, Kr, R]
+        new_P = jnp.where(vmask, new_P, P_rows)
+        dpi = jnp.where(valid, dpi, 0)
+
+        # writes: whole rows (per-lane masking already folded in)
+        w_rows = jnp.where(row_ok, rows_c, m)
+        P = P.at[w_rows].set(new_P, mode="drop")
+        pi = pi.at[w_rows].add(dpi, mode="drop")
+
+        # incremental column sums (row-local updates)
+        sidx = jnp.where(mask & row_ok[:, None], vars0, n).reshape(-1)
+        S_api = S_api.at[sidx].add(
+            (a3 * dpi[:, None, :]).reshape(-1, R), mode="drop"
+        )
+        S_p = S_p.at[sidx].add((a3 * (new_P - P_rows)).reshape(-1, R), mode="drop")
+
+        # priority scatter: later row in block wins conflicting x writes
+        prio = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 0)
+        enc = jnp.where(vmask, prio * 2 + bits, -1)
+        tmp = jnp.full((n, R), -1, jnp.int32).at[sidx].max(
+            enc.reshape(-1, R), mode="drop"
         )
         x = jnp.where(tmp >= 0, tmp & 1, x)
-        return x, P, pi
+        return x, P, pi, S_api, S_p
 
-    x, P, pi = jax.lax.fori_loop(0, n_blocks, block_body, (x, P, pi))
+    x, P, pi, S_api, S_p = jax.lax.fori_loop(
+        0, n_blocks, block_body, (x, P, pi, S_api, S_p)
+    )
     new_viol = violated_mask(cp, x)
-    return x, P, pi, new_viol, jnp.sum(new_viol.astype(jnp.int32))
+    return x, P, pi, new_viol, jnp.sum(new_viol.astype(jnp.int32), axis=0)

@@ -215,12 +215,25 @@ def make_order(
     """Row-processing permutation for one sweep, padded to ``m_pad`` with
     the sentinel ``m``. Violated rows keep the same relative order the
     reference's policies produce; non-violated rows are no-ops wherever
-    they land (the sweep masks them)."""
+    they land (the sweep masks them).
+
+    The schedule is shared across the replica lane axis; for the
+    state-dependent policies (infeasibility/lagrangian sorts) the sort key
+    aggregates over replicas — a deviation from the reference, where each
+    thread orders by its own state."""
     m = cp.m
     iota = jnp.arange(m, dtype=jnp.int32)
 
-    act = activities(cp, x)
-    excess = jnp.maximum(cp.bmin.astype(act.dtype) - act, act - cp.bmax.astype(act.dtype))
+    act = activities(cp, x)  # [m] or [m, R]
+    bmin = cp.bmin.astype(act.dtype)
+    bmax = cp.bmax.astype(act.dtype)
+    if act.ndim == 2:
+        bmin, bmax = bmin[:, None], bmax[:, None]
+    excess = jnp.maximum(bmin - act, act - bmax)
+    if excess.ndim == 2:
+        excess = jnp.mean(excess, axis=1)
+    if pi.ndim == 2:
+        pi = jnp.mean(pi, axis=1)
 
     def by_key(k, descending=False):
         k = jnp.where(descending, -k, k)

@@ -1,0 +1,245 @@
+"""Meta-optimizers: manual grid, Nelder-Mead, recursive branch.
+
+reference: lib/src/manual-optimizer.cpp (5-dim odometer grid),
+lib/src/nlopt-optimizer.cpp (Nelder-Mead over the same 5 parameters),
+lib/src/branch-optimizer.cpp (best-first recursive splitting).
+
+All three tune/partition around repeated calls to the batched optimizer.
+The tuned dimensions are (theta, delta, kappa_min, kappa_step,
+init_policy_random), with the Nelder-Mead bounds of the reference
+(nlopt-optimizer.cpp:101-103).
+"""
+
+from __future__ import annotations
+
+import copy
+import itertools
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+from baryonyx_tpu.core.context import Context
+from baryonyx_tpu.core.model import ObjectiveType, Problem, RawProblem
+from baryonyx_tpu.core.params import ModeType, PreprocessorOptions
+from baryonyx_tpu.core.result import Result, ResultStatus
+
+_PARAM_NAMES = ("theta", "delta", "kappa_min", "kappa_step", "init_policy_random")
+_LOW = np.array([0.0, 0.0001, 0.0, 1e-7, 0.0])
+_UP = np.array([1.0, 0.1, 0.5, 0.01, 1.0])
+
+
+def _prepare(ctx: Context, raw: RawProblem) -> Problem:
+    from baryonyx_tpu.preprocess.fixing import preprocess, unpreprocess
+
+    if ctx.parameters.preprocessor == PreprocessorOptions.all:
+        return preprocess(ctx, raw)
+    return unpreprocess(ctx, raw)
+
+
+def _run_with(ctx: Context, pb: Problem, values) -> Result:
+    from baryonyx_tpu.solver.optimize import optimize_compiled
+
+    internal = copy.copy(ctx)
+    internal.parameters = copy.copy(ctx.parameters)
+    internal.parameters.mode = ModeType.none
+    for name, v in zip(_PARAM_NAMES, values):
+        setattr(internal.parameters, name, float(v))
+    return optimize_compiled(internal, pb)
+
+
+def _score(res: Result, minimize: bool) -> float:
+    """Objective of the run, +inf when no solution — the scalar the tuners
+    minimize (sign-flipped for maximize problems)."""
+    if res.status != ResultStatus.success or not res.solutions:
+        return float("inf")
+    v = res.solutions[-1].value
+    return v if minimize else -v
+
+
+def manual_optimize(ctx: Context, raw: RawProblem) -> Result:
+    """5^5 odometer grid walk, then re-run with the best setting
+    (reference: manual-optimizer.cpp:31-174 — the reference builds each
+    axis as 5 increasing values from the current parameter; its axis-fill
+    loops reuse the theta array by copy-paste, a bug not replicated)."""
+    pb = _prepare(ctx, raw)
+    minimize = pb.type == ObjectiveType.minimize
+    p = ctx.parameters
+    L = 5
+
+    def axis(start, span):
+        start = max(start, 0.0)
+        return [start + i * span / L for i in range(L)]
+
+    axes = [
+        axis(p.theta, 1.0),
+        axis(p.delta if p.delta > 0 else 0.001, 0.1),
+        axis(p.kappa_min, 1e-2),
+        axis(p.kappa_step, 1e-3),
+        axis(p.init_policy_random, 0.9),
+    ]
+
+    best_score = float("inf")
+    best_values = [a[0] for a in axes]
+    for combo in itertools.product(*axes):
+        res = _run_with(ctx, pb, combo)
+        score = _score(res, minimize)
+        ctx.notice(
+            "  - manual sweep {}: {}\n", [round(c, 6) for c in combo], score
+        )
+        if score < best_score:
+            best_score = score
+            best_values = list(combo)
+
+    return _run_with(ctx, pb, best_values)
+
+
+def nelder_mead_optimize(ctx: Context, raw: RawProblem) -> Result:
+    """Derivative-free Nelder-Mead over the 5 parameters with the
+    reference's bounds (reference: nlopt-optimizer.cpp:34-168). A
+    self-contained simplex implementation stands in for NLopt (not in
+    this image); evaluations are full batched-optimizer runs."""
+    pb = _prepare(ctx, raw)
+    minimize = pb.type == ObjectiveType.minimize
+    p = ctx.parameters
+
+    x0 = np.array(
+        [
+            p.theta,
+            p.delta if p.delta > 0 else 0.001,
+            p.kappa_min,
+            p.kappa_step,
+            p.init_policy_random,
+        ]
+    )
+    x0 = np.clip(x0, _LOW, _UP)
+
+    budget_evals = 40
+    evals = [0]
+
+    def f(x) -> float:
+        x = np.clip(x, _LOW, _UP)
+        evals[0] += 1
+        return _score(_run_with(ctx, pb, x), minimize)
+
+    # simplex init: x0 plus per-dimension nudges
+    simplex = [x0]
+    for i in range(5):
+        xi = x0.copy()
+        step = 0.1 * (_UP[i] - _LOW[i])
+        xi[i] = xi[i] + step if xi[i] + step <= _UP[i] else xi[i] - step
+        simplex.append(xi)
+    fvals = [f(x) for x in simplex]
+
+    alpha, gamma, rho, sigma = 1.0, 2.0, 0.5, 0.5
+    while evals[0] < budget_evals:
+        idx = np.argsort(fvals)
+        simplex = [simplex[i] for i in idx]
+        fvals = [fvals[i] for i in idx]
+        centroid = np.mean(simplex[:-1], axis=0)
+
+        xr = centroid + alpha * (centroid - simplex[-1])
+        fr = f(xr)
+        if fr < fvals[0]:
+            xe = centroid + gamma * (xr - centroid)
+            fe = f(xe)
+            if fe < fr:
+                simplex[-1], fvals[-1] = xe, fe
+            else:
+                simplex[-1], fvals[-1] = xr, fr
+        elif fr < fvals[-2]:
+            simplex[-1], fvals[-1] = xr, fr
+        else:
+            xc = centroid + rho * (simplex[-1] - centroid)
+            fc = f(xc)
+            if fc < fvals[-1]:
+                simplex[-1], fvals[-1] = xc, fc
+            else:
+                simplex = [simplex[0]] + [
+                    simplex[0] + sigma * (s - simplex[0]) for s in simplex[1:]
+                ]
+                fvals = [fvals[0]] + [f(s) for s in simplex[1:]]
+
+    best = simplex[int(np.argmin(fvals))]
+    ctx.notice("  - nelder-mead best params: {}\n", list(np.round(best, 6)))
+    return _run_with(ctx, pb, best)
+
+
+def _annoying_variable(res: Result, pb: Problem) -> int:
+    """Pick the split variable. The reference reads
+    ``result.annoying_variable``, which its solvers never set (declared
+    core:740, read only by branch-optimizer.cpp:155-168, always 0 —
+    SURVEY.md section 2.7 flags this). Here: the unfixed variable with the
+    highest constraint degree, a deterministic stand-in until per-variable
+    flip statistics are tracked in-kernel."""
+    degree: dict[int, int] = {}
+    for _, cst in pb.all_constraints():
+        for el in cst.elements:
+            degree[el.variable_index] = degree.get(el.variable_index, 0) + 1
+    if res.annoying_variable and 0 <= res.annoying_variable < len(pb.vars.names):
+        return res.annoying_variable
+    if not degree:
+        return 0
+    return max(degree, key=degree.get)
+
+
+def branch_optimize(ctx: Context, raw: RawProblem) -> Result:
+    """Best-first recursive splitting (reference: branch-optimizer.cpp:84-228):
+    keep a set of subproblems ordered by (remaining, value), repeatedly
+    optimize the best, split it on the chosen variable and re-queue both
+    halves. The reference loop has no termination condition beyond an
+    empty queue; here the node budget is bounded (the reference would run
+    unboundedly)."""
+    from baryonyx_tpu.preprocess.fixing import split
+    from baryonyx_tpu.solver.optimize import optimize_compiled
+
+    pb = _prepare(ctx, raw)
+    minimize = pb.type == ObjectiveType.minimize
+    node_limit = 16
+    t0 = time.monotonic()
+    wall_budget = max(
+        (ctx.parameters.time_limit if ctx.parameters.time_limit > 0 else 10.0)
+        * 4.0,
+        20.0,
+    )
+
+    internal = copy.copy(ctx)
+    internal.parameters = copy.copy(ctx.parameters)
+    internal.parameters.mode = ModeType.none
+
+    best_res = optimize_compiled(internal, pb)
+    best_score = _score(best_res, minimize)
+
+    nodes: List[Tuple[int, float, Problem]] = []
+    if len(pb.vars.names) > 1:
+        nodes.append((best_res.remaining_constraints, best_score, pb))
+
+    processed = 0
+    while nodes and processed < node_limit:
+        if time.monotonic() - t0 > wall_budget:
+            break
+        nodes.sort(key=lambda t: (t[0], t[1]))
+        _, _, node_pb = nodes.pop(0)
+        processed += 1
+
+        var = _annoying_variable(best_res, node_pb)
+        try:
+            hi, lo = split(internal, node_pb, var)
+        except Exception:
+            continue
+
+        for sub in (hi, lo):
+            if not sub.vars.names:
+                continue
+            try:
+                res = optimize_compiled(internal, sub)
+            except Exception:
+                continue
+            score = _score(res, minimize)
+            if score < best_score:
+                best_score = score
+                best_res = res
+            if res.status == ResultStatus.success and len(sub.vars.names) > 1:
+                nodes.append((res.remaining_constraints, score, sub))
+
+    return best_res

@@ -3,19 +3,30 @@
 The reference spawns N threads, each looping restart → annealed run → push
 phase, sharing one solution population under a mutex
 (reference: itm-optimizer-common.hpp:620-751 optimize_functor,
-:776-908 optimize_problem). Here each "thread" is a replica in a vmapped
-batch: one jitted evolution step advances every replica by one sweep and
-runs its per-replica restart state machine; population insertion,
-crossover and mutation are batched array ops inside the same step
+:776-908 optimize_problem). Here each "thread" is a replica on the TPU
+lane axis (trailing dimension R of every state array — see ops/sweep.py):
+one jitted evolution step advances every replica by one sweep and runs its
+per-replica restart state machine; population insertion, crossover and
+mutation are batched array ops inside the same step
 (SURVEY.md section 2.6 "TPU-native equivalent").
 
 Replica phases: ANNEAL (kappa-annealed feasibility run), PUSH (one
-objective-amplified sweep), PUSH_ITER (recovery sweeps after a push).
-A finished replica reports its result to the population and is re-seeded
-in the same step via the kappa-improve ladder or population crossover +
-mutation (reference: best_solution_recorder::reinit, :528-554). P and pi
-persist across restarts, as in the reference where the Solver object
-outlives the restart loop.
+objective-amplified sweep at kappa = pushing_k_factor — the reference's
+optimize push passes the factor directly as kappa, :706-712), PUSH_ITER
+(recovery sweeps after a push, kappa reset to kappa_start). A finished
+replica reports its result to the population and is re-seeded in the same
+step via the kappa-improve ladder or population crossover + mutation
+(reference: best_solution_recorder::reinit, :528-554). P and pi persist
+across restarts, as in the reference where the Solver object outlives the
+restart loop.
+
+Deviations from the reference, on purpose:
+- the row schedule is shared across replicas (lane-major layout); the
+  state-dependent ordering policies aggregate over replicas, and the
+  `cycle` policy advances globally per step instead of per thread;
+- push sweeps process every row: the reference's push walks the violated
+  list, which is empty right after feasibility, making its push a no-op
+  under the default ordering (see solver/solve.py).
 """
 
 from __future__ import annotations
@@ -30,7 +41,12 @@ import numpy as np
 
 from baryonyx_tpu.core.context import Context
 from baryonyx_tpu.core.model import ObjectiveType, Problem
-from baryonyx_tpu.core.params import ConstraintOrder, FloatType, SolverParameters, StorageType
+from baryonyx_tpu.core.params import (
+    ConstraintOrder,
+    FloatType,
+    SolverParameters,
+    StorageType,
+)
 from baryonyx_tpu.core.result import Result, ResultStatus, Solution
 from baryonyx_tpu.ops.layout import CompiledProblem, compile_problem
 from baryonyx_tpu.ops.sweep import sweep, violated_mask
@@ -39,8 +55,6 @@ from baryonyx_tpu.solver import common
 from baryonyx_tpu.solver.population import (
     Population,
     batch_insert,
-    choose_solution_index,
-    crossover_mix,
     hash_x,
     init_population_host,
     make_hash_weights,
@@ -53,10 +67,10 @@ INT_MAX = 2**31 - 1
 
 
 class ReplicaState(NamedTuple):
-    x: jax.Array  # int32[R, n]
-    P: jax.Array  # f[R, m, Kr]
-    pi: jax.Array  # f[R, m]
-    viol: jax.Array  # bool[R, m]
+    x: jax.Array  # int32[n, R]
+    P: jax.Array  # f[m, Kr, R]
+    pi: jax.Array  # f[m, R]
+    viol: jax.Array  # bool[m, R]
     kappa: jax.Array  # f[R]
     kappa_start: jax.Array  # f[R]
     kappa_append: jax.Array  # f[R] — the per-thread ladder position
@@ -65,28 +79,24 @@ class ReplicaState(NamedTuple):
     push_idx: jax.Array  # int32[R]
     best_remaining: jax.Array  # int32[R] — per-restart min
     restarts: jax.Array  # int32[R] — reference: m_call_number
-    order_code: jax.Array  # int32[R]
-    key: jax.Array  # [R] keys
 
 
 class OptState(NamedTuple):
     replicas: ReplicaState
     pop: Population
     key: jax.Array
+    order_code: jax.Array  # int32 — shared scheduling policy
     sweeps: jax.Array  # int32 — total evolution steps executed
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("minimize", "block_size", "n_steps"),
-)
+@functools.partial(jax.jit, static_argnames=("minimize", "block_size", "n_steps"))
 def evolve(
     cp: CompiledProblem,
     cost_norm: jax.Array,
     cost_orig: jax.Array,
     cost_constant: jax.Array,
-    bastert_x: jax.Array,
-    hash_weights: jax.Array,
+    bastert_x: jax.Array,  # int32[n]
+    hash_weights: jax.Array,  # uint32[n]
     hp: dict,
     state: OptState,
     minimize: bool,
@@ -96,6 +106,9 @@ def evolve(
     """Run ``n_steps`` evolution steps: every replica does one sweep + its
     state-machine transition; finished replicas report to the population
     and restart."""
+    m, n = cp.m, cp.n
+    B = block_size
+    mp = ((m + B - 1) // B) * B
 
     def one_step(state: OptState, _):
         rs = state.replicas
@@ -108,19 +121,33 @@ def evolve(
             is_push, hp["pushing_objective_amplifier"], jnp.asarray(0, dtype)
         )
 
-        keys = jax.vmap(jax.random.split)(rs.key)
-        step_keys, next_keys = keys[:, 0], keys[:, 1]
+        state_key, k_ord, k_sweep, k_ins, k_reinit = jax.random.split(
+            state.key, 5
+        )
 
-        x, P, pi, viol, remaining = jax.vmap(
-            lambda xx, PP, ppi, vv, oc, kk, ky, am, pa: _sweep_one(
-                cp, cost_norm, hp, xx, PP, ppi, vv, oc, kk, ky, am, pa,
-                minimize, block_size,
-            )
-        )(rs.x, rs.P, rs.pi, rs.viol, rs.order_code, kappa_eff, step_keys,
-          amp, is_push)
+        order = common.make_order(cp, state.order_code, rs.x, rs.pi, k_ord, mp)
+        process_all = (
+            state.order_code
+            == common.ORDER_CODES[ConstraintOrder.pi_sign_change]
+        )
+        sched = rs.viol | is_push[None, :] | process_all  # [m, R]
 
-        value = x.astype(dtype) @ cost_orig + cost_constant
-        found = remaining == 0
+        sched_any = jnp.any(sched, axis=1)  # [m]
+        padded = jnp.concatenate([sched_any, jnp.zeros((1,), bool)])[
+            jnp.minimum(order, m)
+        ]
+        order2 = order[jnp.argsort(~padded, stable=True)]
+        n_rows = jnp.sum(padded.astype(jnp.int32))
+
+        x, P, pi, viol, remaining = sweep(
+            cp, rs.x, P=rs.P, pi=rs.pi, cost=cost_norm, sched=sched,
+            order=order2, kappa=kappa_eff, delta=hp["delta"],
+            theta=hp["theta"], key=k_sweep, obj_amp=amp, n_rows=n_rows,
+            minimize=minimize, block_size=block_size,
+        )
+
+        value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
+        found = remaining == 0  # [R]
         it1 = rs.iter_i + 1
 
         # --- ANNEAL transitions (reference: :668-699) ---
@@ -129,7 +156,7 @@ def evolve(
             in_anneal, jnp.minimum(rs.best_remaining, remaining), rs.best_remaining
         )
         anneal_kappa = rs.kappa + hp["kappa_step"] * jnp.power(
-            remaining.astype(dtype) / jnp.asarray(cp.m, dtype), hp["alpha"]
+            remaining.astype(dtype) / jnp.asarray(m, dtype), hp["alpha"]
         )
         do_anneal = (rs.iter_i > hp["w"]) & ~found
         kappa = jnp.where(in_anneal & do_anneal, anneal_kappa, rs.kappa)
@@ -138,30 +165,24 @@ def evolve(
         )
         anneal_found = in_anneal & found
 
-        # --- PUSH transitions (reference: :702-723) ---
-        push_done_sweep = is_push  # amplified sweep just ran
-
         # --- PUSH_ITER transitions (reference: :724-749) ---
         in_pi = rs.phase == PHASE_PUSH_ITER
-        pi_kappa = jnp.where(in_pi & do_anneal, anneal_kappa, kappa)
-        kappa = jnp.where(in_pi, pi_kappa, kappa)
+        kappa = jnp.where(in_pi & do_anneal, anneal_kappa, kappa)
         pi_end = in_pi & (
             found | (kappa > hp["kappa_max"]) | (it1 >= hp["push_iters"])
         )
-
         push_idx = jnp.where(pi_end, rs.push_idx + 1, rs.push_idx)
         push_exhausted = pi_end & (push_idx >= hp["pushes_limit"])
 
         restart = anneal_fail | push_exhausted
 
-        # --- population inserts ---
-        # feasible x found in any phase → try_update (value-deduped);
-        # failed anneal → try_advance with (x, best_remaining)
+        # --- population inserts (pre-reinit x) ---
+        # feasible x in any phase → try_update; failed anneal →
+        # try_advance with (x, best_remaining) (reference: :556-585)
         cand_mask = found | anneal_fail
         cand_remaining = jnp.where(found, 0, best_rem).astype(jnp.int32)
-        state_key, k_ins, k_reinit = jax.random.split(state.key, 3)
         pop = batch_insert(
-            state.pop, x, value, cand_remaining, cand_mask, k_ins,
+            state.pop, x.T, value, cand_remaining, cand_mask, k_ins,
             hash_weights, minimize,
         )
 
@@ -176,155 +197,128 @@ def evolve(
             ),
             rs.kappa_append,
         )
-        ladder_kappa = hp["kappa_min"] + (
-            hp["kappa_max"] - hp["kappa_min"]
-        ) * new_append
+        ladder_kappa = (
+            hp["kappa_min"] + (hp["kappa_max"] - hp["kappa_min"]) * new_append
+        )
 
-        reinit_keys = jax.vmap(
-            lambda i: jax.random.fold_in(k_reinit, i)
-        )(jnp.arange(R))
+        k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(k_reinit, 8)
+        Psize = pop.x.shape[0]
 
-        def reinit_x(xx, do, use_crossover, ky):
-            k1, k2, k3, k4, k5, k6 = jax.random.split(ky, 6)
-            # crossover source (reference: storage::crossover :369-421)
-            Psize = pop.x.shape[0]
-            i1 = choose_solution_index(
-                k1, Psize, hp["sel_mean"], hp["sel_stddev"]
+        def pick(k):
+            v = jnp.abs(
+                hp["sel_mean"] + hp["sel_stddev"] * jax.random.normal(k, (R,))
             )
-            i2 = choose_solution_index(
-                k2, Psize, hp["sel_mean"], hp["sel_stddev"]
-            )
-            i2 = jnp.where(i2 == i1, (i1 + 1) % Psize, i2)
-            other = jnp.where(
-                jax.random.bernoulli(k3, hp["bastert_insertion"]),
-                jnp.where(
-                    jax.random.bernoulli(k4, 0.5),
-                    bastert_x,
-                    jax.random.bernoulli(k4, 0.5, xx.shape).astype(xx.dtype),
-                ),
-                pop.x[i2],
-            )
-            crossed = crossover_mix(k5, pop.x[i1], other)
-            nx = jnp.where(use_crossover, crossed, xx)
+            return (jnp.minimum(v, 0.999) * Psize).astype(jnp.int32)
 
-            # mutation (reference: :494-526); the reference resamples
-            # truncated normals — approximated by |N| with clipping
-            km1, km2, km3 = jax.random.split(k6, 3)
-            var_p = jnp.clip(
-                jnp.abs(
-                    hp["mut_var_mean"]
-                    + hp["mut_var_stddev"] * jax.random.normal(km1)
-                ),
-                1e-7,
-                0.999,
-            )
-            val_p = jnp.clip(
-                jnp.abs(
-                    hp["mut_val_mean"]
-                    + hp["mut_val_stddev"] * jax.random.normal(km2)
-                ),
-                0.0,
-                1.0,
-            )
-            mutate = jax.random.bernoulli(km1, var_p, xx.shape)
-            mval = jax.random.bernoulli(km3, val_p, xx.shape).astype(xx.dtype)
-            nx = jnp.where(mutate & (hp["mut_enabled"] > 0), mval, nx)
-            return jnp.where(do, nx, xx)
+        i1 = pick(k1)
+        i2 = pick(k2)
+        i2 = jnp.where(i2 == i1, (i1 + 1) % Psize, i2)
+        first = pop.x[i1].T  # [n, R]
+        use_special = jax.random.bernoulli(k3, hp["bastert_insertion"], (R,))
+        special = jnp.where(
+            jax.random.bernoulli(k4, 0.5, (R,))[None, :],
+            bastert_x[:, None],
+            jax.random.bernoulli(k5, 0.5, (n, R)).astype(jnp.int32),
+        )
+        other = jnp.where(use_special[None, :], special, pop.x[i2].T)
+        take2 = jax.random.bernoulli(k6, 0.5, (n, R))
+        crossed = jnp.where(take2 & (first != other), other, first)
 
-        use_crossover = ~ladder  # ladder keeps x, crossover replaces it
-        x = jax.vmap(reinit_x)(x, restart, use_crossover, reinit_keys)
+        # ladder restarts keep x; crossover restarts replace it
+        nx = jnp.where((~ladder)[None, :], crossed, x)
+
+        # mutation (reference: :494-526); truncated-normal resampling
+        # approximated by |N| + clip
+        var_p = jnp.clip(
+            jnp.abs(
+                hp["mut_var_mean"]
+                + hp["mut_var_stddev"] * jax.random.normal(k7, (R,))
+            ),
+            1e-7,
+            0.999,
+        )
+        val_p = jnp.clip(
+            jnp.abs(
+                hp["mut_val_mean"]
+                + hp["mut_val_stddev"] * jax.random.normal(k7, (R,))
+            ),
+            0.0,
+            1.0,
+        )
+        km, kv = jax.random.split(k8)
+        mutate = jax.random.bernoulli(km, var_p[None, :], (n, R))
+        mval = jax.random.bernoulli(kv, val_p[None, :], (n, R)).astype(jnp.int32)
+        nx = jnp.where(mutate & (hp["mut_enabled"] > 0), mval, nx)
+
+        x = jnp.where(restart[None, :], nx, x)
 
         new_kappa_start = jnp.where(
-            restart, jnp.where(ladder, ladder_kappa, hp["kappa_min"]), rs.kappa_start
+            restart,
+            jnp.where(ladder, ladder_kappa, hp["kappa_min"]),
+            rs.kappa_start,
         )
         kappa = jnp.where(restart, new_kappa_start, kappa)
 
         # phase transitions
+        enter_pi = is_push  # the amplified sweep just ran
         phase = jnp.where(
             anneal_found,
             PHASE_PUSH,
             jnp.where(
-                push_done_sweep,
+                enter_pi,
                 PHASE_PUSH_ITER,
-                jnp.where(
-                    pi_end & ~push_exhausted, PHASE_PUSH, rs.phase
-                ),
+                jnp.where(pi_end & ~push_exhausted, PHASE_PUSH, rs.phase),
             ),
         )
         phase = jnp.where(restart, PHASE_ANNEAL, phase).astype(jnp.int32)
 
-        # counters: entering PUSH_ITER resets iter and kappa←kappa_start
-        enter_pi = push_done_sweep
+        # after the amplified sweep kappa resets to kappa_start
+        # (reference: :722)
         kappa = jnp.where(enter_pi, rs.kappa_start, kappa)
         iter_i = jnp.where(
             enter_pi | restart | anneal_found | (pi_end & ~push_exhausted),
             0,
             it1,
         ).astype(jnp.int32)
-        push_idx = jnp.where(restart, 0, jnp.where(anneal_found, 0, push_idx))
-        best_rem = jnp.where(restart, INT_MAX, best_rem)
+        push_idx = jnp.where(
+            restart | anneal_found, 0, push_idx
+        ).astype(jnp.int32)
+        best_rem = jnp.where(restart, INT_MAX, best_rem).astype(jnp.int32)
 
-        # cycle policy advances on push sweeps (reference: itm-common.hpp:694)
+        # cycle advances globally when any replica pushed
         order_code = jnp.where(
-            is_push & hp["use_cycle"],
-            (rs.order_code + 1) % common.N_CYCLE_STATES,
-            rs.order_code,
+            hp["use_cycle"] & jnp.any(is_push),
+            (state.order_code + 1) % common.N_CYCLE_STATES,
+            state.order_code,
         ).astype(jnp.int32)
 
         # restarting replicas recompute their violated set from the new x
-        viol = jnp.where(
-            restart[:, None], jax.vmap(lambda xx: violated_mask(cp, xx))(x), viol
-        )
+        viol = jnp.where(restart[None, :], violated_mask(cp, x), viol)
 
         new_rs = ReplicaState(
             x=x, P=P, pi=pi, viol=viol, kappa=kappa,
             kappa_start=new_kappa_start, kappa_append=new_append,
-            iter_i=iter_i, phase=phase,
-            push_idx=push_idx.astype(jnp.int32),
-            best_remaining=best_rem.astype(jnp.int32),
-            restarts=(rs.restarts + restart.astype(jnp.int32)),
-            order_code=order_code, key=next_keys,
+            iter_i=iter_i, phase=phase, push_idx=push_idx,
+            best_remaining=best_rem,
+            restarts=rs.restarts + restart.astype(jnp.int32),
         )
-        return OptState(new_rs, pop, state_key, state.sweeps + 1), None
+        return (
+            OptState(new_rs, pop, state_key, order_code, state.sweeps + 1),
+            None,
+        )
 
     state, _ = jax.lax.scan(one_step, state, None, length=n_steps)
     return state
 
 
-def _sweep_one(
-    cp, cost_norm, hp, xx, PP, ppi, vv, order_code, kappa, key, amp, push_all,
-    minimize, block_size,
-):
-    m = cp.m
-    B = block_size
-    mp = ((m + B - 1) // B) * B
-    k_order, k_sweep = jax.random.split(key)
-    order = common.make_order(cp, order_code, xx, ppi, k_order, mp)
-    process_all = (
-        order_code == common.ORDER_CODES[ConstraintOrder.pi_sign_change]
-    ) | push_all
-    eff_viol = vv | process_all
-    sched = jnp.concatenate([eff_viol, jnp.zeros((1,), bool)])[
-        jnp.minimum(order, m)
-    ]
-    compact = jnp.argsort(~sched, stable=True)
-    order = order[compact]
-    n_rows = jnp.sum(sched.astype(jnp.int32))
-    return sweep(
-        cp, xx, P=PP, pi=ppi, cost=cost_norm, viol=eff_viol, order=order,
-        kappa=kappa, delta=hp["delta"], theta=hp["theta"], key=k_sweep,
-        obj_amp=amp, n_rows=n_rows, minimize=minimize, block_size=block_size,
-    )
-
-
 def default_replicas(params: SolverParameters) -> int:
     """reference: get_thread_number (itm-optimizer-common.hpp:757-774) —
-    thread<=0 means auto; on TPU the replica batch replaces the thread
-    pool."""
+    thread<=0 means auto; on TPU the replica lane batch replaces the
+    thread pool."""
     if params.thread > 0:
         return params.thread
     backend = jax.default_backend()
-    return 128 if backend not in ("cpu",) else 16
+    return 256 if backend not in ("cpu",) else 16
 
 
 def optimize_compiled(ctx: Context, pb: Problem) -> Result:
@@ -378,7 +372,6 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
 
     bastert = jnp.asarray(common.init_bastert(cost_orig, minimize), jnp.int32)
 
-    # hyper bundle
     delta = (
         common.compute_delta(cost_norm, params.theta)
         if params.delta < 0
@@ -427,22 +420,20 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         use_cycle=jnp.asarray(params.order == ConstraintOrder.cycle, bool),
     )
 
-    # replica init: crossover from the population, like a first reinit
-    keys = jax.random.split(key, R + 1)
-    key, rkeys = keys[0], keys[1:]
+    # replica init: draw starting points from the population
     init_idx = np.minimum(
         np.abs(rng.normal(0, 0.5, R)) * P_size, P_size - 1
     ).astype(np.int32)
-    x0 = pop.x[jnp.asarray(init_idx)]
-    viol0 = jax.vmap(lambda xx: violated_mask(cp, xx))(x0)
+    x0 = pop.x[jnp.asarray(init_idx)].T  # [n, R]
+    viol0 = violated_mask(cp, x0)
     order_code = common.ORDER_CODES.get(params.order, 0)
     if params.order == ConstraintOrder.cycle:
         order_code = 0
 
     rs = ReplicaState(
         x=x0,
-        P=jnp.zeros((R, cp.m, cp.Kr), dtype),
-        pi=jnp.zeros((R, cp.m), dtype),
+        P=jnp.zeros((cp.m, cp.Kr, R), dtype),
+        pi=jnp.zeros((cp.m, R), dtype),
         viol=viol0,
         kappa=jnp.full((R,), params.kappa_min, dtype),
         kappa_start=jnp.full((R,), params.kappa_min, dtype),
@@ -452,10 +443,10 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         push_idx=jnp.zeros((R,), jnp.int32),
         best_remaining=jnp.full((R,), INT_MAX, jnp.int32),
         restarts=jnp.zeros((R,), jnp.int32),
-        order_code=jnp.full((R,), order_code, jnp.int32),
-        key=rkeys,
     )
-    state = OptState(rs, pop, key, jnp.asarray(0, jnp.int32))
+    state = OptState(
+        rs, pop, key, jnp.asarray(order_code, jnp.int32), jnp.asarray(0, jnp.int32)
+    )
 
     cn = jnp.asarray(cost_norm, dtype)
     co = jnp.asarray(cost_orig, dtype)
@@ -464,9 +455,7 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     time_limit = params.time_limit if params.time_limit > 0 else 10.0
     if params.time_limit <= 0:
         ctx.notice(
-            "optimize: no time limit given; defaulting to {}s "
-            "(the reference loops until its 1 Hz poll passes the limit)\n",
-            time_limit,
+            "optimize: no time limit given; defaulting to {}s\n", time_limit
         )
 
     chunk = max(1, params.chunk_size)

@@ -32,19 +32,21 @@ from baryonyx_tpu.solver import common
 
 
 class DeviceState(NamedTuple):
-    """Device-carried solver state for one replica."""
+    """Device-carried solver state. Solve mode runs a single replica, so
+    the lane axis R is 1 (the sweep kernel is lane-major — see
+    ops/sweep.py)."""
 
-    x: jax.Array  # int32[n]
-    P: jax.Array  # f[m, Kr]
-    pi: jax.Array  # f[m]
-    viol: jax.Array  # bool[m]
-    kappa: jax.Array  # f scalar
+    x: jax.Array  # int32[n, 1]
+    P: jax.Array  # f[m, Kr, 1]
+    pi: jax.Array  # f[m, 1]
+    viol: jax.Array  # bool[m, 1]
+    kappa: jax.Array  # f[1]
     loop: jax.Array  # int32: global iteration counter
-    remaining: jax.Array  # int32
-    best_x: jax.Array  # int32[n]
-    best_remaining: jax.Array  # int32
-    best_value: jax.Array  # f scalar (true objective, solver dtype)
-    best_loop: jax.Array  # int32
+    remaining: jax.Array  # int32[1]
+    best_x: jax.Array  # int32[n, 1]
+    best_remaining: jax.Array  # int32[1]
+    best_value: jax.Array  # f[1] (true objective, solver dtype)
+    best_loop: jax.Array  # int32[1]
     order_code: jax.Array  # int32 (current policy, advanced by `cycle`)
     key: jax.Array
     stop_reason: jax.Array  # int32: 0 running, 1 feasible, 2 kappa_max, 3 limit
@@ -67,20 +69,20 @@ def make_initial_state(
     minimize: bool,
 ) -> DeviceState:
     n, m = cp.n, cp.m
-    x = jnp.asarray(x0, jnp.int32)
-    viol = violated_mask(cp, x)
+    x = jnp.asarray(x0, jnp.int32).reshape(n, 1)
+    viol = violated_mask(cp, x)  # [m, 1]
     return DeviceState(
         x=x,
-        P=jnp.zeros((m, cp.Kr), dtype),
-        pi=jnp.zeros((m,), dtype),
+        P=jnp.zeros((m, cp.Kr, 1), dtype),
+        pi=jnp.zeros((m, 1), dtype),
         viol=viol,
-        kappa=jnp.asarray(params.kappa_min, dtype),
+        kappa=jnp.full((1,), params.kappa_min, dtype),
         loop=jnp.asarray(0, jnp.int32),
-        remaining=jnp.sum(viol.astype(jnp.int32)),
+        remaining=jnp.sum(viol.astype(jnp.int32), axis=0),
         best_x=x,
-        best_remaining=jnp.asarray(2**31 - 1, jnp.int32),
-        best_value=jnp.asarray(jnp.inf if minimize else -jnp.inf, dtype),
-        best_loop=jnp.asarray(0, jnp.int32),
+        best_remaining=jnp.full((1,), 2**31 - 1, jnp.int32),
+        best_value=jnp.full((1,), jnp.inf if minimize else -jnp.inf, dtype),
+        best_loop=jnp.zeros((1,), jnp.int32),
         order_code=jnp.asarray(order_code, jnp.int32),
         key=key,
         stop_reason=jnp.asarray(STOP_RUNNING, jnp.int32),
@@ -117,18 +119,23 @@ def _step(
         # reference's pi_sign_change policy does and what makes the push
         # actually improve the incumbent.
         process_all = True
-    eff_viol = st.viol | process_all
+    eff_viol = st.viol | process_all  # [m, 1]
 
-    # compact scheduled rows to the front (stable, preserving policy order)
-    # so the block loop runs ceil(remaining / B) steps instead of m / B
-    sched = jnp.concatenate([eff_viol, jnp.zeros((1,), bool)])[
+    # compact scheduled rows (union over lanes) to the front, preserving
+    # policy order, so the block loop runs ceil(remaining / B) steps
+    sched_any = jnp.any(eff_viol, axis=1)  # [m]
+    padded = jnp.concatenate([sched_any, jnp.zeros((1,), bool)])[
         jnp.minimum(order, m)
     ]
-    compact = jnp.argsort(~sched, stable=True)
+    compact = jnp.argsort(~padded, stable=True)
     order = order[compact]
-    n_rows = jnp.sum(sched.astype(jnp.int32))
+    n_rows = jnp.sum(padded.astype(jnp.int32))
 
-    amp = jnp.asarray(0, dtype) if push_amp is None else push_amp
+    amp = (
+        jnp.zeros((1,), dtype)
+        if push_amp is None
+        else jnp.full((1,), 1.0, dtype) * push_amp
+    )
     kappa_eff = st.kappa if push_amp is None else st.kappa * hp["pushing_k_factor"]
 
     x, P, pi, viol, remaining = sweep(
@@ -137,7 +144,7 @@ def _step(
         P=st.P,
         pi=st.pi,
         cost=cost_norm,
-        viol=eff_viol,
+        sched=eff_viol,
         order=order,
         kappa=kappa_eff,
         delta=hp["delta"],
@@ -150,9 +157,7 @@ def _step(
     )
 
     # best tracking (reference: store_if_better, :242-261)
-    value = (
-        jnp.dot(cost_orig, x.astype(dtype)) + cost_constant
-    )
+    value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
     feasible = remaining == 0
     better_value = (value < st.best_value) if minimize else (value > st.best_value)
     improves = jnp.where(
@@ -268,10 +273,10 @@ def run_chunk(
             minimize, block_size, None, anneal_counter=st.loop,
         )
         reason = jnp.where(
-            st.remaining == 0,
+            st.remaining[0] == 0,
             STOP_FEASIBLE,
             jnp.where(
-                st.kappa > hp["kappa_max"],
+                st.kappa[0] > hp["kappa_max"],
                 STOP_KAPPA,
                 jnp.where(st.loop >= hp["limit"], STOP_LIMIT, STOP_RUNNING),
             ),
@@ -314,9 +319,9 @@ def run_push_round(
             minimize, block_size, None, anneal_counter=it,
         )
         stop = jnp.where(
-            st.remaining == 0,
+            st.remaining[0] == 0,
             STOP_FEASIBLE,
-            jnp.where(st.kappa > hp["kappa_max"], STOP_KAPPA, STOP_RUNNING),
+            jnp.where(st.kappa[0] > hp["kappa_max"], STOP_KAPPA, STOP_RUNNING),
         )
         return st._replace(stop_reason=stop.astype(jnp.int32)), it + 1
 
@@ -402,7 +407,7 @@ def solve_compiled(
         reason = STOP_FEASIBLE
 
     # status (reference: :125-169, :215-216)
-    best_remaining = int(st.best_remaining)
+    best_remaining = int(st.best_remaining[0])
     if best_remaining == 0:
         ret.status = ResultStatus.success
     elif timed_out:
@@ -412,8 +417,8 @@ def solve_compiled(
     else:
         ret.status = ResultStatus.limit_reached
 
-    best_x = np.asarray(st.best_x)
-    ret.loop = int(st.best_loop)
+    best_x = np.asarray(st.best_x).ravel()
+    ret.loop = int(st.best_loop[0])
     ret.remaining_constraints = best_remaining
     if best_remaining == 0:
         value = common.objective_value(pb, best_x)

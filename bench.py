@@ -1,0 +1,108 @@
+"""Benchmark: batched-optimizer sweep throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json north star: "solver iterations/s/chip"):
+replica-sweeps per second of the optimize-mode evolution step on an
+scp41-sized set-covering instance (200 constraints x 1000 variables —
+reference: benchmarks/scp.csv line scp41), R replicas on one chip.
+
+vs_baseline divides by the reference C++ solver's measured total sweep
+rate on this class of instance: baryonyx 0.5 built -O2, 8 threads on this
+host's CPU, instrumented via its per-insert logs — ~2.16e5 restarts in
+20 s with >= 2 sweeps each gives ~2.2e4 effective full-problem-equivalent
+sweeps/s after scaling by the violated-row fraction it actually touches.
+This constant is an estimate recorded in round 1; later rounds replace it
+with a live head-to-head.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Reference-equivalent full sweeps/s (see module docstring).
+BASELINE_SWEEPS_PER_S = 22_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from baryonyx_tpu.core.context import make_context
+    from baryonyx_tpu.generators import random_set_cover_lp
+    from baryonyx_tpu.io.lp_parse import parse_lp
+    from baryonyx_tpu.ops.layout import compile_problem
+    from baryonyx_tpu.ops.sweep import sweep, violated_mask
+    from baryonyx_tpu.preprocess.fixing import preprocess
+    from baryonyx_tpu.preprocess.merge import make_merged_constraints
+    from baryonyx_tpu.solver import common
+
+    ctx = make_context(0)
+    pb = preprocess(ctx, parse_lp(random_set_cover_lp(200, 1000, 0.02, seed=41)))
+    csts = make_merged_constraints(ctx, pb)
+    n = len(pb.vars.values)
+    cp = compile_problem(csts, n)
+    cost = common.build_cost_vector(pb, n)
+    cost_norm = jnp.asarray(
+        common.normalize_costs(cost, ctx.parameters.cost_norm, np.random.default_rng(0)),
+        jnp.float32,
+    )
+
+    R = 256
+    B = 8
+    m = cp.m
+    mp = ((m + B - 1) // B) * B
+    order = jnp.concatenate(
+        [jnp.arange(m, dtype=jnp.int32), jnp.full((mp - m,), m, jnp.int32)]
+    )
+    key = jax.random.key(0)
+    x = jax.random.bernoulli(key, 0.5, (n, R)).astype(jnp.int32)
+    P = jnp.zeros((m, cp.Kr, R), jnp.float32)
+    pi = jnp.zeros((m, R), jnp.float32)
+
+    NSTEPS = 50
+
+    @jax.jit
+    def run(x, P, pi, key):
+        def body(c, _):
+            x, P, pi, key = c
+            key, k = jax.random.split(key)
+            sched = violated_mask(cp, x)
+            x, P, pi, viol, rem = sweep(
+                cp, x, P, pi, cost_norm, sched, order,
+                jnp.full((R,), 0.1, jnp.float32), jnp.float32(0.01),
+                jnp.float32(0.5), k, jnp.zeros((R,), jnp.float32),
+                None, True, B,
+            )
+            return (x, P, pi, key), rem
+        (x, P, pi, key), rems = jax.lax.scan(body, (x, P, pi, key), None, length=NSTEPS)
+        return x, P, pi, rems
+
+    # warmup/compile
+    out = run(x, P, pi, key)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    reps = 4
+    for i in range(reps):
+        out = run(*out[:3], jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    sweeps_per_s = reps * NSTEPS * R / dt
+    print(
+        json.dumps(
+            {
+                "metric": "optimize_replica_sweeps_per_s_scp200x1000",
+                "value": round(sweeps_per_s, 1),
+                "unit": "replica-sweeps/s/chip",
+                "vs_baseline": round(sweeps_per_s / BASELINE_SWEEPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Optimize-mode tests, modeled on the reference's strategy
+(reference: lib/test/optimize.cpp:40-166): real multi-replica runs with
+small time limits, validity as the oracle, and an exact-optimum assertion
+on a small deterministic instance."""
+
+import numpy as np
+import pytest
+
+import baryonyx_tpu as bx
+from baryonyx_tpu.generators import (
+    n_queens_lp,
+    random_assignment_lp,
+    random_set_cover_lp,
+)
+from baryonyx_tpu.validate import compute_solution, is_valid_solution
+
+
+def make_ctx(time_limit=8.0, seed=42, **kw):
+    ctx = bx.make_context(0)
+    ctx.parameters.seed = seed
+    ctx.parameters.time_limit = time_limit
+    ctx.parameters.limit = 100
+    ctx.parameters.thread = 8  # keep the CPU test batch small
+    for k, v in kw.items():
+        setattr(ctx.parameters, k, v)
+    return ctx
+
+
+def test_optimize_small_assignment_exact():
+    # 3x3 assignment with known optimum computable by brute force
+    pb = bx.parse_lp(random_assignment_lp(3, seed=7))
+    r = bx.optimize(make_ctx(), pb)
+    assert r.status == bx.ResultStatus.success
+    assert is_valid_solution(pb, r)
+
+    # brute force optimum over 3! permutations
+    import itertools
+
+    costs = np.zeros((3, 3))
+    for el in pb.objective.elements:
+        name = pb.vars.names[el.variable_index]
+        i, j = name[1:].split("_")
+        costs[int(i), int(j)] = el.factor
+    best = min(
+        sum(costs[i, p[i]] for i in range(3))
+        for p in itertools.permutations(range(3))
+    )
+    assert compute_solution(pb, r) == best
+
+
+def test_optimize_beats_or_matches_solve():
+    pb = bx.parse_lp(random_set_cover_lp(40, 120, density=0.1, seed=11))
+    ctx = make_ctx()
+    r_opt = bx.optimize(ctx, pb)
+    assert r_opt.status == bx.ResultStatus.success
+    assert is_valid_solution(pb, r_opt)
+
+    ctx2 = bx.make_context(0)
+    ctx2.parameters.seed = 42
+    ctx2.parameters.limit = 100
+    r_solve = bx.solve(ctx2, pb)
+    if r_solve.status == bx.ResultStatus.success:
+        assert compute_solution(pb, r_opt) <= compute_solution(pb, r_solve)
+
+
+def test_optimize_six_queens():
+    pb = bx.parse_lp(n_queens_lp(6))
+    r = bx.optimize(make_ctx(), pb)
+    assert r.status == bx.ResultStatus.success
+    assert is_valid_solution(pb, r)
+    assert compute_solution(pb, r) == 6.0
+
+
+def test_optimize_storage_five():
+    pb = bx.parse_lp(random_set_cover_lp(20, 60, density=0.15, seed=13))
+    r = bx.optimize(make_ctx(time_limit=5.0, storage=bx.StorageType.five), pb)
+    assert len(r.solutions) == 5
+    # best solution is last (Result.best)
+    assert is_valid_solution(pb, r)
+
+
+def test_optimize_storage_bound():
+    pb = bx.parse_lp(random_set_cover_lp(20, 60, density=0.15, seed=13))
+    r = bx.optimize(make_ctx(time_limit=5.0, storage=bx.StorageType.bound), pb)
+    assert len(r.solutions) == 2
+
+
+def test_optimize_update_callback():
+    pb = bx.parse_lp(random_set_cover_lp(15, 40, density=0.2, seed=17))
+    seen = []
+    ctx = make_ctx(time_limit=5.0)
+    ctx.register(update=lambda rem, val, loop, dur, restarts: seen.append(rem))
+    bx.optimize(ctx, pb)
+    assert seen  # progress callback fired at least once
