@@ -458,8 +458,10 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
             "optimize: no time limit given; defaulting to {}s\n", time_limit
         )
 
+    # do-while: at least one chunk always runs — the first call also pays
+    # jit compilation, which can alone exceed a small time limit
     chunk = max(1, params.chunk_size)
-    while (time.monotonic() - t0) < time_limit:
+    while True:
         state = evolve(
             cp, cn, co, cc, bastert, hw, hp, state,
             minimize=minimize, block_size=params.block_size, n_steps=chunk,
@@ -473,6 +475,8 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
                 time.monotonic() - t0,
                 int(jnp.sum(state.replicas.restarts)),
             )
+        if (time.monotonic() - t0) >= time_limit:
+            break
 
     # extraction (reference: :869-900); best LAST to match Result.best
     pop = state.pop

@@ -50,8 +50,8 @@ def main() -> None:
         jnp.float32,
     )
 
-    R = 256
-    B = 8
+    R = 1024
+    B = 50
     m = cp.m
     mp = ((m + B - 1) // B) * B
     order = jnp.concatenate(
@@ -62,10 +62,10 @@ def main() -> None:
     P = jnp.zeros((m, cp.Kr, R), jnp.float32)
     pi = jnp.zeros((m, R), jnp.float32)
 
-    NSTEPS = 50
+    import functools
 
-    @jax.jit
-    def run(x, P, pi, key):
+    @functools.partial(jax.jit, static_argnames=("nsteps",))
+    def run(x, P, pi, key, nsteps):
         def body(c, _):
             x, P, pi, key = c
             key, k = jax.random.split(key)
@@ -77,21 +77,29 @@ def main() -> None:
                 None, True, B,
             )
             return (x, P, pi, key), rem
-        (x, P, pi, key), rems = jax.lax.scan(body, (x, P, pi, key), None, length=NSTEPS)
-        return x, P, pi, rems
+        c, rems = jax.lax.scan(body, (x, P, pi, key), None, length=nsteps)
+        return c[0], rems[-1]
 
-    # warmup/compile
-    out = run(x, P, pi, key)
-    jax.block_until_ready(out)
+    # NOTE: on this image's axon TPU tunnel, block_until_ready does not
+    # actually block — only a value fetch synchronizes. Timing therefore
+    # fetches a reduction and uses the slope between two scan lengths to
+    # cancel the fixed fetch/dispatch latency.
+    def fetch(o) -> float:
+        return float(jnp.sum(o[1]))
 
-    t0 = time.perf_counter()
-    reps = 4
-    for i in range(reps):
-        out = run(*out[:3], jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    N1, N2 = 20, 120
+    fetch(run(x, P, pi, key, nsteps=N1))
+    fetch(run(x, P, pi, key, nsteps=N2))
 
-    sweeps_per_s = reps * NSTEPS * R / dt
+    t = time.perf_counter()
+    fetch(run(x, P, pi, key, nsteps=N1))
+    t1 = time.perf_counter() - t
+    t = time.perf_counter()
+    fetch(run(x, P, pi, key, nsteps=N2))
+    t2 = time.perf_counter() - t
+
+    per_sweep = max((t2 - t1) / (N2 - N1), 1e-9)
+    sweeps_per_s = R / per_sweep
     print(
         json.dumps(
             {
