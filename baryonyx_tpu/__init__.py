@@ -22,6 +22,10 @@ points (reference: core:788-858): ``make_problem``, ``solve``, ``optimize``,
 ``is_valid_solution``, ``compute_solution``.
 """
 
+from baryonyx_tpu.runtime import setup_cache as _setup_cache
+
+_setup_cache()
+
 from baryonyx_tpu.core.context import Context, make_context
 from baryonyx_tpu.core.errors import (
     BaryonyxError,

@@ -56,12 +56,44 @@ class CompiledProblem:
     r_size: jax.Array  # int32: row length
     is_eq: jax.Array  # bool: merged min == max
 
-    # static metadata
+    # Z-problem extras (None for pure 0/1 and ±1 problems): per-row exact
+    # subsolver data — all feasible assignments of each enumerable row
+    # (reference: exhaustive_solver::build_constraints,
+    # exhaustive-solver.hpp:111-167)
+    assign_bits: Optional[jax.Array]  # int8[m, Amax, Kr]
+    assign_valid: Optional[jax.Array]  # bool[m, Amax]
+    enum_row: Optional[jax.Array]  # bool[m] — row solved by enumeration
+
+    # static metadata (m, n, Kr, Kc are BUCKETED sizes; *_real are the
+    # instance's true counts)
     m: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
     Kr: int = dataclasses.field(metadata=dict(static=True))
     Kc: int = dataclasses.field(metadata=dict(static=True))
     has_z: bool = dataclasses.field(metadata=dict(static=True))
+    Amax: int = dataclasses.field(default=0, metadata=dict(static=True))
+    m_real: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_real: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+Z_ENUM_MAX = 12  # rows up to this length get exact enumeration
+# (reference: maximum_factor_exhaustive_solver = 10,
+# itm-solver-inequalities-Z.cpp:40 — raised here since the enumeration is a
+# batched matmul)
+
+
+def _bucket(x: int, mult: int, minimum: int = 0) -> int:
+    """Round up to a bucket boundary so different instances share compiled
+    executables: multiples of `mult` below 4*mult, then powers-of-two-ish
+    steps."""
+    x = max(x, minimum, 1)
+    if x <= 4 * mult:
+        return _round_up(x, mult)
+    b = 4 * mult
+    while b < x:
+        b += b // 2
+        b = _round_up(b, mult)
+    return b
 
 
 def compile_problem(
@@ -77,18 +109,25 @@ def compile_problem(
     coefficients (reference: itm-solver-inequalities-101.cpp:117-125) which
     degenerates to [0, row length] for 0/1 rows
     (reference: itm-solver-inequalities-01.cpp:97-106).
+
+    All dimensions round up to shared bucket sizes so instances of similar
+    size reuse the same compiled solver executables (padded rows have
+    bounds [0,0] and are never violated or scheduled; padded variables
+    have zero cost and appear in no row).
     """
-    m = len(constraints)
-    n = n_variables
-    if m == 0:
+    m_real = len(constraints)
+    n_real = n_variables
+    if m_real == 0:
         raise ValueError("cannot compile a problem with no constraints")
 
-    Kr = max(len(c.elements) for c in constraints)
+    m = _bucket(m_real, 64)
+    n = _bucket(n_real, 128)
+    Kr = _bucket(max(len(c.elements) for c in constraints), 8)
     col_count = np.zeros(n, dtype=np.int64)
     for c in constraints:
         for el in c.elements:
             col_count[el.variable_index] += 1
-    Kc = int(col_count.max()) if n else 1
+    Kc = _bucket(int(col_count.max()) if n_real else 1, 8)
 
     row_vars = np.zeros((m, Kr), dtype=np.int32)
     row_factor = np.zeros((m, Kr), dtype=np.float64)
@@ -139,6 +178,52 @@ def compile_problem(
             if bmin[k] > bmax[k]:
                 raise ValueError(f"constraint {cst.id}: empty bound interval")
 
+    assign_bits = assign_valid = enum_row = None
+    Amax = 0
+    if has_z:
+        # Exact per-row subsolvers for the Z problem classes: enumerate all
+        # feasible assignments of rows up to Z_ENUM_MAX variables
+        # (reference: exhaustive_solver, exhaustive-solver.hpp:111-167);
+        # longer ±1 rows fall back to the greedy prefix walk
+        # (reference: select_variables_101,
+        # itm-solver-inequalities-Z.cpp:308-325). Longer Z rows would need
+        # the branch-and-bound path — not implemented yet.
+        enum_row_np = np.zeros(m, dtype=bool)
+        per_row: List[np.ndarray] = []
+        for k, cst in enumerate(constraints):
+            L = len(cst.elements)
+            row_has_z = any(abs(el.factor) > 1 for el in cst.elements)
+            if L > Z_ENUM_MAX:
+                if row_has_z:
+                    raise NotImplementedError(
+                        f"constraint {cst.id}: Z coefficients with "
+                        f"{L} > {Z_ENUM_MAX} variables (branch-and-bound "
+                        "row solver not implemented yet)"
+                    )
+                per_row.append(np.zeros((0, Kr), dtype=np.int8))
+                continue
+            factors = np.array([el.factor for el in cst.elements])
+            bits = (
+                (np.arange(2**L)[:, None] >> np.arange(L)[None, :]) & 1
+            ).astype(np.int8)
+            act = bits @ factors
+            feas = bits[(act >= bmin[k]) & (act <= bmax[k])]
+            if feas.shape[0] == 0:
+                raise ValueError(f"constraint {cst.id}: no feasible assignment")
+            padded = np.zeros((feas.shape[0], Kr), dtype=np.int8)
+            padded[:, :L] = feas
+            per_row.append(padded)
+            enum_row_np[k] = True
+        Amax = _bucket(max((a.shape[0] for a in per_row), default=1) or 1, 16)
+        ab = np.zeros((m, Amax, Kr), dtype=np.int8)
+        av = np.zeros((m, Amax), dtype=bool)
+        for k, a in enumerate(per_row):
+            ab[k, : a.shape[0]] = a
+            av[k, : a.shape[0]] = True
+        assign_bits = jnp.asarray(ab)
+        assign_valid = jnp.asarray(av)
+        enum_row = jnp.asarray(enum_row_np)
+
     return CompiledProblem(
         row_vars=jnp.asarray(row_vars),
         row_factor=jnp.asarray(row_factor, dtype=dtype),
@@ -151,9 +236,15 @@ def compile_problem(
         neg_count=jnp.asarray(neg_count),
         r_size=jnp.asarray(r_size),
         is_eq=jnp.asarray(is_eq),
+        assign_bits=assign_bits,
+        assign_valid=assign_valid,
+        enum_row=enum_row,
         m=m,
         n=n,
         Kr=Kr,
         Kc=Kc,
         has_z=has_z,
+        Amax=Amax,
+        m_real=m_real,
+        n_real=n_real,
     )

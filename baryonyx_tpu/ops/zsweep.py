@@ -1,0 +1,261 @@
+"""Sweep kernel for ℤ-coefficient problems (equalities_Z / inequalities_Z).
+
+The reference routes problems with general integer coefficients to
+``solver_inequalities_Zcoeff`` (reference: itm-solver-inequalities-Z.cpp),
+which differs from the 0/1 and ±1 kernels:
+
+- reduced costs use absolute factors and fold pi and P together:
+  r_j = c(j) - sum_{k' in col(j)} |a_k'j| (pi_k' + P[k',s'])
+  with no sign flip (reference: compute_reduced_costs, :253-293)
+- each row is solved by a per-row subsolver: exact enumeration over the
+  row's feasible assignments for short rows (reference: exhaustive_solver)
+  or branch-and-bound, with a greedy prefix walk for ±1 rows
+  (reference: select_variables_101, :308-325)
+- the update ``local_affect`` (:346-439) uses a constant
+  d = kappa/(1-kappa) + delta, always moves pi_k, sets chosen variables
+  regardless of factor sign, and runs a "repair" second pass that
+  recomputes each variable's reduced cost after the update and compensates
+  P when its sign disagrees with the assignment
+
+Here (lane-major, like ops/sweep.py): enumeration scores are one matmul
+``assign_bits[row] @ r`` per block (MXU work), the walk is a masked prefix
+scan, and the repair pass is exact and fully vectorized — each variable
+appears once per row, so repairs are independent within a row.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from baryonyx_tpu.ops.layout import CompiledProblem
+from baryonyx_tpu.ops.sweep import violated_mask
+
+
+def column_sums_abs(cp: CompiledProblem, P: jax.Array, pi: jax.Array) -> jax.Array:
+    """S[j] = sum_k |a_kj| (pi_k + P[k,s]) via one scatter-add."""
+    R = pi.shape[-1]
+    absa = jnp.abs(cp.row_factor)[:, :, None]  # [m, Kr, 1]
+    contrib = (absa * (pi[:, None, :] + P)).reshape(-1, R)
+    idx = jnp.where(cp.row_mask, cp.row_vars, cp.n).reshape(-1)
+    return jnp.zeros((cp.n, R), P.dtype).at[idx].add(contrib, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("minimize", "block_size"))
+def z_sweep(
+    cp: CompiledProblem,
+    x: jax.Array,  # int32[n, R]
+    P: jax.Array,  # f[m, Kr, R]
+    pi: jax.Array,  # f[m, R]
+    cost: jax.Array,  # f[n]
+    sched: jax.Array,  # bool[m, R]
+    order: jax.Array,  # int32[mp]
+    kappa: jax.Array,  # f[R]
+    delta: jax.Array,
+    theta: jax.Array,
+    key: jax.Array,
+    obj_amp: jax.Array,  # f[R]
+    n_rows: Optional[jax.Array] = None,
+    minimize: bool = True,
+    block_size: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One pass over the scheduled rows of a Z problem for all replicas.
+
+    Returns (x, P, pi, new_violated [m,R], remaining [R])."""
+    m, n, Kr, Amax = cp.m, cp.n, cp.Kr, cp.Amax
+    B = block_size
+    mp = order.shape[0]
+    if n_rows is None:
+        n_blocks = mp // B
+    else:
+        n_blocks = jnp.minimum(
+            (n_rows + B - 1) // B, jnp.asarray(mp // B, n_rows.dtype)
+        )
+    dtype = P.dtype
+    R = pi.shape[-1]
+
+    theta = jnp.asarray(theta, dtype)
+    delta = jnp.asarray(delta, dtype)
+    kappa = jnp.asarray(kappa, dtype)
+    kp = kappa / (1 - kappa)  # [R]
+    d_const = kp + delta  # [R] (reference: local_affect :361)
+    amp = jnp.asarray(obj_amp, dtype)
+    big = jnp.asarray(jnp.inf if minimize else -jnp.inf, dtype)
+    half = jnp.asarray(0.5, dtype)
+    mid = jnp.asarray(1.5, dtype)
+
+    S = column_sums_abs(cp, P, pi)
+
+    def block_body(b, carry):
+        x, P, pi, S = carry
+        kb = jax.random.fold_in(key, b)
+
+        rows = jax.lax.dynamic_slice(order, (b * B,), (B,))
+        rows_c = jnp.minimum(rows, m - 1)
+        row_ok = rows < m
+        valid = sched[rows_c] & row_ok[:, None]  # [B, R]
+
+        vars0 = cp.row_vars[rows_c]  # [B, Kr]
+        a = cp.row_factor[rows_c]
+        absa = jnp.abs(a)
+        mask = cp.row_mask[rows_c]
+        a3 = absa[:, :, None]
+        P_rows = P[rows_c]  # [B, Kr, R]
+
+        gvars = jnp.where(mask, vars0, 0)
+        Sv = S[gvars]  # [B, Kr, R]
+        c_v = cost[gvars]  # [B, Kr]
+
+        # own-row decay correction (P[k,:] *= theta before reduced costs)
+        Sv = Sv + a3 * (theta - 1) * P_rows
+        P_dec = theta * P_rows
+
+        r = c_v[:, :, None] - Sv  # [B, Kr, R]
+        r = r + amp[None, None, :] * c_v[:, :, None]
+        r_masked = jnp.where(mask[:, :, None], r, big)
+
+        # ---- enumeration path: scores for every feasible assignment ----
+        bits = cp.assign_bits[rows_c].astype(dtype)  # [B, Amax, Kr]
+        avalid = cp.assign_valid[rows_c]  # [B, Amax]
+        scores = jax.lax.dot_general(
+            bits,
+            jnp.where(mask[:, :, None], r, 0),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+        )  # [B, Amax, R]
+        scores = jnp.where(avalid[:, :, None], scores, big)
+        best_a = (
+            jnp.argmin(scores, axis=1) if minimize else jnp.argmax(scores, axis=1)
+        )  # [B, R]
+        # chosen_enum[b,s,r] = assign_bits[b, best_a[b,r], s], realized as a
+        # one-hot contraction over the assignment axis (MXU-friendly)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, Amax, R), 1)
+            == best_a[:, None, :]
+        ).astype(dtype)
+        chosen_enum = (
+            jax.lax.dot_general(
+                bits,
+                onehot,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype,
+            )
+            > 0.5
+        )  # [B, Kr, R]
+
+        # ---- greedy prefix walk for long ±1 rows (select_variables_101) --
+        tb = jax.random.uniform(jax.random.fold_in(kb, 1), (B, Kr, R), jnp.float32)
+        slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
+        sortv = r_masked if minimize else -r_masked
+        sv, _, sslot = jax.lax.sort((sortv, tb, slots), dimension=1, num_keys=2)
+        rs_sorted = sv if minimize else -sv
+        rank = jnp.argsort(sslot, axis=1)
+        f_sorted = jnp.take_along_axis(
+            jnp.broadcast_to(a[:, :, None], (B, Kr, R)), sslot, axis=1
+        )
+        prefix = jnp.cumsum(f_sorted, axis=1)  # activity of prefix [0..i]
+        bkmin = cp.bmin[rows_c][:, None, None].astype(dtype)
+        bkmax = cp.bmax[rows_c][:, None, None].astype(dtype)
+        r_size = cp.r_size[rows_c][:, None]  # [B, 1]
+        in_len = slots < r_size[:, :, None]
+        feasible = (
+            (prefix >= bkmin) & (prefix <= bkmax) & in_len
+        )  # [B, Kr, R] — position i means prefix 0..i selected
+        empty_feasible = (bkmin <= 0) & (bkmax >= 0)  # selected = -1
+        if minimize:
+            stop = rs_sorted > 0
+        else:
+            stop = rs_sorted < 0
+        # first feasible position (or -1 if the empty prefix is feasible)
+        anyf = jnp.any(feasible, axis=1)  # [B, R]
+        firstf = jnp.argmax(feasible, axis=1)
+        firstf = jnp.where(
+            empty_feasible[:, 0, :], -jnp.ones_like(firstf), jnp.where(anyf, firstf, Kr)
+        )
+        # the walk breaks at the first stop-sign element after a feasible
+        # prefix exists: cut = min { i : i > firstf and stop[i] }
+        idxs = slots
+        stop_after = stop & (idxs > firstf[:, None, :])
+        any_stop = jnp.any(stop_after, axis=1)
+        cut = jnp.where(any_stop, jnp.argmax(stop_after, axis=1) - 1, Kr - 1)
+        # best = last feasible position <= cut
+        ok = feasible & (idxs <= cut[:, None, :])
+        best_walk = jnp.where(
+            jnp.any(ok, axis=1),
+            (Kr - 1) - jnp.argmax(ok[:, ::-1, :], axis=1),
+            jnp.where(empty_feasible[:, 0, :], -1, -1),
+        )  # [B, R]; -1 = select nothing
+        chosen_walk = rank <= best_walk[:, None, :]
+
+        enum_flag = cp.enum_row[rows_c][:, None, None]  # [B,1,1]
+        chosen = jnp.where(enum_flag, chosen_enum, chosen_walk)  # [B, Kr, R]
+        chosen = chosen & mask[:, :, None]
+
+        # ---- pi update (reference local_affect cases, on the reordered R:
+        # chosen sorted first) ----
+        nchosen = jnp.sum(chosen.astype(jnp.int32), axis=1)  # [B, R]
+        case_none = nchosen == 0
+        case_all = nchosen >= r_size
+        if minimize:
+            worst_chosen = jnp.max(jnp.where(chosen, r, -jnp.inf), axis=1)
+            best_unchosen = jnp.min(
+                jnp.where(~chosen & mask[:, :, None], r, jnp.inf), axis=1
+            )
+            r0_all = jnp.min(jnp.where(mask[:, :, None], r, jnp.inf), axis=1)
+        else:
+            worst_chosen = jnp.min(jnp.where(chosen, r, jnp.inf), axis=1)
+            best_unchosen = jnp.max(
+                jnp.where(~chosen & mask[:, :, None], r, -jnp.inf), axis=1
+            )
+            r0_all = jnp.max(jnp.where(mask[:, :, None], r, -jnp.inf), axis=1)
+        dpi = jnp.where(
+            case_none,
+            r0_all * half,
+            jnp.where(
+                case_all,
+                worst_chosen * mid,
+                (worst_chosen + best_unchosen) * half,
+            ),
+        )  # [B, R]
+        dpi = jnp.where(valid, dpi, 0)
+
+        # ---- P update with repair ----
+        sgn = jnp.where(chosen, jnp.ones((), dtype), -jnp.ones((), dtype))
+        P1 = P_dec + sgn * d_const[None, None, :]
+        # repair: reduced cost recomputed after pi/P change
+        # (reference: local_compute_reduced_cost, :296-307)
+        repair = r - a3 * (dpi[:, None, :] + sgn * d_const[None, None, :])
+        fix_chosen = chosen & (repair >= 0)
+        fix_unchosen = (~chosen) & (repair <= 0)
+        P2 = jnp.where(
+            fix_chosen,
+            P1 - repair + d_const[None, None, :],
+            jnp.where(fix_unchosen, P1 + repair - d_const[None, None, :], P1),
+        )
+
+        vmask = valid[:, None, :] & mask[:, :, None]
+        P2 = jnp.where(vmask, P2, P_rows)
+        bits_out = chosen.astype(jnp.int32)
+
+        w_rows = jnp.where(row_ok, rows_c, m)
+        P = P.at[w_rows].set(P2, mode="drop")
+        pi = pi.at[w_rows].add(dpi, mode="drop")
+
+        sidx = jnp.where(mask & row_ok[:, None], vars0, n).reshape(-1)
+        dS = a3 * (dpi[:, None, :] + (P2 - P_rows))
+        S = S.at[sidx].add(dS.reshape(-1, R), mode="drop")
+
+        prio = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 0)
+        enc = jnp.where(vmask, prio * 2 + bits_out, -1)
+        tmp = jnp.full((n, R), -1, jnp.int32).at[sidx].max(
+            enc.reshape(-1, R), mode="drop"
+        )
+        x = jnp.where(tmp >= 0, tmp & 1, x)
+        return x, P, pi, S
+
+    x, P, pi, S = jax.lax.fori_loop(0, n_blocks, block_body, (x, P, pi, S))
+    new_viol = violated_mask(cp, x)
+    return x, P, pi, new_viol, jnp.sum(new_viol.astype(jnp.int32), axis=0)

@@ -1,0 +1,26 @@
+"""Runtime configuration for the TPU toolchain.
+
+``setup_cache`` points JAX's persistent compilation cache at a repo-local
+directory so the expensive first compile of the sweep/evolve executables
+(minutes through the remote-compile tunnel) is paid once per problem
+shape, not once per process.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_cache(path: str | None = None) -> None:
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "BARYONYX_TPU_CACHE", "/tmp/baryonyx_tpu_jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without the persistent cache knobs

@@ -139,7 +139,11 @@ def evolve(
         order2 = order[jnp.argsort(~padded, stable=True)]
         n_rows = jnp.sum(padded.astype(jnp.int32))
 
-        x, P, pi, viol, remaining = sweep(
+        if cp.has_z:
+            from baryonyx_tpu.ops.zsweep import z_sweep as kernel
+        else:
+            kernel = sweep
+        x, P, pi, viol, remaining = kernel(
             cp, rs.x, P=rs.P, pi=rs.pi, cost=cost_norm, sched=sched,
             order=order2, kappa=kappa_eff, delta=hp["delta"],
             theta=hp["theta"], key=k_sweep, obj_amp=amp, n_rows=n_rows,
@@ -156,7 +160,7 @@ def evolve(
             in_anneal, jnp.minimum(rs.best_remaining, remaining), rs.best_remaining
         )
         anneal_kappa = rs.kappa + hp["kappa_step"] * jnp.power(
-            remaining.astype(dtype) / jnp.asarray(m, dtype), hp["alpha"]
+            remaining.astype(dtype) / jnp.asarray(cp.m_real, dtype), hp["alpha"]
         )
         do_anneal = (rs.iter_i > hp["w"]) & ~found
         kappa = jnp.where(in_anneal & do_anneal, anneal_kappa, rs.kappa)
@@ -343,8 +347,11 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     key = jax.random.key(seed)
 
     cp = compile_problem(constraints, n, dtype=dtype)
-    cost_orig = common.build_cost_vector(pb, n)
-    cost_norm = common.normalize_costs(cost_orig, params.cost_norm, rng)
+    cost_orig_real = common.build_cost_vector(pb, n)
+    cost_norm_real = common.normalize_costs(cost_orig_real, params.cost_norm, rng)
+    pad = cp.n - n
+    cost_orig = np.pad(cost_orig_real, (0, pad))
+    cost_norm = np.pad(cost_norm_real, (0, pad))
 
     R = default_replicas(params)
     P_size = params.init_population_size
@@ -359,9 +366,14 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         return value, rem
 
     pop_x, pop_val, pop_rem = init_population_host(
-        params, cost_orig, constraints, minimize, rng, P_size, evaluate
+        params, cost_orig_real, constraints, minimize, rng, P_size, evaluate
     )
-    hw = jnp.asarray(make_hash_weights(n, seed))
+    pop_x = np.pad(pop_x, ((0, 0), (0, pad)))
+    # padded variables carry zero hash weight so stray bits there (e.g.
+    # from mutation) cannot defeat the population dedup
+    hw_np = make_hash_weights(cp.n, seed)
+    hw_np[n:] = 0
+    hw = jnp.asarray(hw_np)
     pop = Population(
         x=jnp.asarray(pop_x, jnp.int32),
         value=jnp.asarray(pop_val, dtype),
@@ -370,7 +382,10 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     )
     pop = sort_population(pop, minimize)
 
-    bastert = jnp.asarray(common.init_bastert(cost_orig, minimize), jnp.int32)
+    bastert = jnp.asarray(
+        np.pad(common.init_bastert(cost_orig_real, minimize), (0, pad)),
+        jnp.int32,
+    )
 
     delta = (
         common.compute_delta(cost_norm, params.theta)
@@ -488,9 +503,9 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     ret.loop = int(state.sweeps)
 
     def to_solution(i: int) -> Solution:
-        xv = [int(v) for v in np.asarray(pop.x[i])]
-        val = common.objective_value(pb, np.asarray(pop.x[i]))
-        return Solution(xv, val)
+        xi = np.asarray(pop.x[i])[:n]
+        val = common.objective_value(pb, xi)
+        return Solution([int(v) for v in xi], val)
 
     if params.storage == StorageType.one:
         ret.solutions = [to_solution(0)]

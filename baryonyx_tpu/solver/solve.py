@@ -138,7 +138,11 @@ def _step(
     )
     kappa_eff = st.kappa if push_amp is None else st.kappa * hp["pushing_k_factor"]
 
-    x, P, pi, viol, remaining = sweep(
+    if cp.has_z:
+        from baryonyx_tpu.ops.zsweep import z_sweep as kernel
+    else:
+        kernel = sweep
+    x, P, pi, viol, remaining = kernel(
         cp,
         st.x,
         P=st.P,
@@ -187,7 +191,8 @@ def _step(
             st.kappa
             + hp["kappa_step"]
             * jnp.power(
-                remaining.astype(dtype) / jnp.asarray(m, dtype), hp["alpha"]
+                remaining.astype(dtype) / jnp.asarray(cp.m_real, dtype),
+                hp["alpha"],
             ),
             st.kappa,
         )
@@ -357,10 +362,16 @@ def solve_compiled(
         key = jax.random.key(seed)
 
     cp = compile_problem(constraints, n, dtype=dtype)
-    cost_orig = common.build_cost_vector(pb, n)
-    cost_norm = common.normalize_costs(cost_orig, params.cost_norm, rng)
+    cost_orig_real = common.build_cost_vector(pb, n)
+    cost_norm_real = common.normalize_costs(cost_orig_real, params.cost_norm, rng)
+    pad = cp.n - n
+    cost_orig = np.pad(cost_orig_real, (0, pad))
+    cost_norm = np.pad(cost_norm_real, (0, pad))
 
-    x0 = common.initial_x(params, cost_orig, constraints, minimize, rng)
+    x0 = np.pad(
+        common.initial_x(params, cost_orig_real, constraints, minimize, rng),
+        (0, pad),
+    )
 
     order_code = common.ORDER_CODES.get(params.order, 0)
     if params.order == ConstraintOrder.cycle:
@@ -417,7 +428,7 @@ def solve_compiled(
     else:
         ret.status = ResultStatus.limit_reached
 
-    best_x = np.asarray(st.best_x).ravel()
+    best_x = np.asarray(st.best_x).ravel()[:n]
     ret.loop = int(st.best_loop[0])
     ret.remaining_constraints = best_remaining
     if best_remaining == 0:
