@@ -93,7 +93,9 @@ def column_sums(
     return S_api, S_p
 
 
-@functools.partial(jax.jit, static_argnames=("minimize", "block_size"))
+@functools.partial(
+    jax.jit, static_argnames=("minimize", "block_size", "random_solver")
+)
 def sweep(
     cp: CompiledProblem,
     x: jax.Array,  # int32[n, R]
@@ -110,8 +112,14 @@ def sweep(
     n_rows: Optional[jax.Array] = None,
     minimize: bool = True,
     block_size: int = 8,
+    random_solver: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """One full pass over the scheduled rows for all replicas.
+
+    ``random_solver=True`` replaces the computed reduced costs with
+    uniform noise, turning selection into a randomized greedy fill — the
+    benchmark baseline solver (reference: random-solver.cpp:32-340, CLI
+    ``--random``).
 
     When the caller compacts the scheduled rows (union over replicas) to
     the front of ``order``, ``n_rows`` bounds the block loop dynamically.
@@ -170,6 +178,10 @@ def sweep(
         r = c_v[:, :, None] - Sa - Sp
         r = jnp.where(a3 < 0, -r, r)
         r = r + amp[None, None, :] * c_v[:, :, None]
+        if random_solver:
+            r = jax.random.uniform(
+                jax.random.fold_in(kb, 2), (B, Kr, R), dtype
+            ) - jnp.asarray(0.5, dtype)
 
         keyvals = jnp.where(mask[:, :, None], r, big)
         sortv = keyvals if minimize else -keyvals

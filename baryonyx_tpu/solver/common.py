@@ -185,6 +185,29 @@ def initial_x(
     return np.where(flip, 1 - x, x).astype(np.int32)
 
 
+def dual_bound(
+    cp, pi: np.ndarray, c_norm: np.ndarray, minimize: bool
+) -> float:
+    """Lagrangian dual bound: lb = sum_k pi_k b_k + sum_j min(0, c_j -
+    sum_k a_kj pi_k), using the row lower bounds for minimize (upper for
+    maximize) — reference: bounds_printer, itm-common.hpp:501-625."""
+    rv = np.asarray(cp.row_vars)
+    rf = np.asarray(cp.row_factor)
+    rm = np.asarray(cp.row_mask)
+    b = np.asarray(cp.bmin if minimize else cp.bmax, dtype=np.float64)
+    n = cp.n
+    sum_a_pi = np.zeros(n)
+    for k in range(cp.m_real):
+        np.add.at(sum_a_pi, rv[k][rm[k]], rf[k][rm[k]] * pi[k])
+    resid = c_norm[: len(sum_a_pi)] - sum_a_pi
+    lb = float(np.dot(pi[: cp.m_real], b[: cp.m_real]))
+    if minimize:
+        lb += float(np.minimum(0.0, resid).sum())
+    else:
+        lb += float(np.maximum(0.0, resid).sum())
+    return lb
+
+
 # ---------------------------------------------------------------------------
 # constraint-ordering schedules (reference: compute_order,
 # itm-common.hpp:627-915) — device-side, one permutation per sweep

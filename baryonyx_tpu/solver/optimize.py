@@ -89,7 +89,10 @@ class OptState(NamedTuple):
     sweeps: jax.Array  # int32 — total evolution steps executed
 
 
-@functools.partial(jax.jit, static_argnames=("minimize", "block_size", "n_steps"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("minimize", "block_size", "n_steps", "random_solver"),
+)
 def evolve(
     cp: CompiledProblem,
     cost_norm: jax.Array,
@@ -102,6 +105,7 @@ def evolve(
     minimize: bool,
     block_size: int,
     n_steps: int,
+    random_solver: bool = False,
 ) -> OptState:
     """Run ``n_steps`` evolution steps: every replica does one sweep + its
     state-machine transition; finished replicas report to the population
@@ -140,14 +144,19 @@ def evolve(
         n_rows = jnp.sum(padded.astype(jnp.int32))
 
         if cp.has_z:
+            if random_solver:
+                raise NotImplementedError("random solver for Z problems")
             from baryonyx_tpu.ops.zsweep import z_sweep as kernel
+
+            kw = {}
         else:
             kernel = sweep
+            kw = dict(random_solver=random_solver)
         x, P, pi, viol, remaining = kernel(
             cp, rs.x, P=rs.P, pi=rs.pi, cost=cost_norm, sched=sched,
             order=order2, kappa=kappa_eff, delta=hp["delta"],
             theta=hp["theta"], key=k_sweep, obj_amp=amp, n_rows=n_rows,
-            minimize=minimize, block_size=block_size,
+            minimize=minimize, block_size=block_size, **kw,
         )
 
         value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
@@ -467,6 +476,9 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     co = jnp.asarray(cost_orig, dtype)
     cc = jnp.asarray(pb.objective.value, dtype)
 
+    from baryonyx_tpu.core.params import SolverType
+
+    use_random = params.solver == SolverType.random
     time_limit = params.time_limit if params.time_limit > 0 else 10.0
     if params.time_limit <= 0:
         ctx.notice(
@@ -480,6 +492,7 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         state = evolve(
             cp, cn, co, cc, bastert, hw, hp, state,
             minimize=minimize, block_size=params.block_size, n_steps=chunk,
+            random_solver=use_random,
         )
         if ctx.update_cb:
             pop0 = state.pop

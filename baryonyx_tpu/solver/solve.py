@@ -100,6 +100,7 @@ def _step(
     block_size: int,
     push_amp,
     anneal_counter=None,
+    random_solver: bool = False,
 ) -> DeviceState:
     """One outer iteration: schedule, sweep, best-tracking, kappa anneal
     (reference: itm-solver-common.hpp:135-166)."""
@@ -139,9 +140,16 @@ def _step(
     kappa_eff = st.kappa if push_amp is None else st.kappa * hp["pushing_k_factor"]
 
     if cp.has_z:
+        if random_solver:
+            # the reference's dispatch has no random solver for Z problems
+            # (itm.hpp:181-200 raises internal_error)
+            raise NotImplementedError("random solver for Z problems")
         from baryonyx_tpu.ops.zsweep import z_sweep as kernel
+
+        kw = {}
     else:
         kernel = sweep
+        kw = dict(random_solver=random_solver)
     x, P, pi, viol, remaining = kernel(
         cp,
         st.x,
@@ -158,6 +166,7 @@ def _step(
         n_rows=n_rows,
         minimize=minimize,
         block_size=block_size,
+        **kw,
     )
 
     # best tracking (reference: store_if_better, :242-261)
@@ -251,7 +260,9 @@ def make_hyper(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("minimize", "block_size"))
+@functools.partial(
+    jax.jit, static_argnames=("minimize", "block_size", "random_solver")
+)
 def run_chunk(
     cp: CompiledProblem,
     cost_norm: jax.Array,
@@ -262,6 +273,7 @@ def run_chunk(
     n_iters: jax.Array,
     minimize: bool,
     block_size: int,
+    random_solver: bool = False,
 ) -> DeviceState:
     """Up to n_iters annealed sweeps, stopping early on feasibility /
     kappa_max / global limit (reference: itm-solver-common.hpp:135-166).
@@ -276,6 +288,7 @@ def run_chunk(
         st = _step(
             cp, cost_norm, cost_orig, cost_constant, st, hp,
             minimize, block_size, None, anneal_counter=st.loop,
+            random_solver=random_solver,
         )
         reason = jnp.where(
             st.remaining[0] == 0,
@@ -292,7 +305,8 @@ def run_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("minimize", "block_size", "push_iters")
+    jax.jit,
+    static_argnames=("minimize", "block_size", "push_iters", "random_solver"),
 )
 def run_push_round(
     cp: CompiledProblem,
@@ -304,12 +318,14 @@ def run_push_round(
     minimize: bool,
     block_size: int,
     push_iters: int,
+    random_solver: bool = False,
 ) -> DeviceState:
     """One objective-amplified sweep + up to ``push_iters`` normal sweeps
     (reference: itm-solver-common.hpp:171-213)."""
     st = _step(
         cp, cost_norm, cost_orig, cost_constant, st, hp,
         minimize, block_size, hp["pushing_objective_amplifier"],
+        random_solver=random_solver,
     )
     st = st._replace(stop_reason=jnp.asarray(STOP_RUNNING, jnp.int32))
 
@@ -322,6 +338,7 @@ def run_push_round(
         st = _step(
             cp, cost_norm, cost_orig, cost_constant, st, hp,
             minimize, block_size, None, anneal_counter=it,
+            random_solver=random_solver,
         )
         stop = jnp.where(
             st.remaining[0] == 0,
@@ -389,6 +406,13 @@ def solve_compiled(
             or (time.monotonic() - t0) < params.time_limit
         )
 
+    from baryonyx_tpu.core.params import ObserverType, SolverType
+    from baryonyx_tpu.observer import make_observer
+
+    use_random = params.solver == SolverType.random
+
+    observer = make_observer(params.observer)
+
     # main annealed loop, in host-dispatched chunks
     timed_out = False
     while True:
@@ -396,7 +420,21 @@ def solve_compiled(
             cp, cn, co, cc, hp, st,
             jnp.asarray(params.chunk_size, jnp.int32),
             minimize=minimize, block_size=params.block_size,
+            random_solver=use_random,
         )
+        if params.observer != ObserverType.none:
+            observer.make_observation(
+                np.asarray(st.P[..., 0]), np.asarray(st.pi[:, 0]), int(st.loop)
+            )
+        if params.print_level > 0:
+            lb = common.dual_bound(cp, np.asarray(st.pi[:, 0]), cost_norm, minimize)
+            ctx.info(
+                "  - loop {}: remaining {} kappa {:.4f} dual-bound {:.6g}\n",
+                int(st.loop),
+                int(st.remaining[0]),
+                float(st.kappa[0]),
+                lb,
+            )
         reason = int(st.stop_reason)
         if reason != STOP_RUNNING:
             break
@@ -411,6 +449,7 @@ def solve_compiled(
                 cp, cn, co, cc, hp, st,
                 minimize=minimize, block_size=params.block_size,
                 push_iters=params.pushing_iteration_limit,
+                random_solver=use_random,
             )
             if not time_left():
                 timed_out = True
