@@ -527,13 +527,31 @@ def parse_lp(text: str) -> RawProblem:
 
 def make_problem(ctx: Context, source) -> RawProblem:
     """Parse from a path or file-like object
-    (reference: lpcore.cpp:71-86, parser.cpp:1261-1272)."""
+    (reference: lpcore.cpp:71-86, parser.cpp:1261-1272).
+
+    File paths go through the native C++ parser when the library is
+    available (baryonyx_tpu.native); set BARYONYX_TPU_NO_NATIVE=1 to force
+    the pure-Python path."""
     if hasattr(source, "read"):
-        text = source.read()
-    else:
+        return parse_lp(source.read())
+
+    import os
+
+    if not os.environ.get("BARYONYX_TPU_NO_NATIVE"):
         try:
-            with open(source, "r") as fh:
-                text = fh.read()
-        except OSError as e:
-            raise FileAccessError(str(source), str(e))
+            from baryonyx_tpu.native.lp import parse_lp_native
+
+            pb = parse_lp_native(str(source))
+            if pb is not None:
+                return pb
+        except FileFormatError:
+            raise
+        except Exception:
+            pass  # fall back to the Python parser
+
+    try:
+        with open(source, "r") as fh:
+            text = fh.read()
+    except OSError as e:
+        raise FileAccessError(str(source), str(e))
     return parse_lp(text)

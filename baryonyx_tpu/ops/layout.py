@@ -64,6 +64,13 @@ class CompiledProblem:
     assign_valid: Optional[jax.Array]  # bool[m, Amax]
     enum_row: Optional[jax.Array]  # bool[m] — row solved by enumeration
 
+    # quadratic-objective extras (None for linear objectives): per-variable
+    # neighbor lists so c(j, x) = c_j + sum_q f_q x[other_q]
+    # (reference: quadratic_cost_type, itm-common.hpp:1150-1440)
+    quad_var: Optional[jax.Array]  # int32[n, Qmax] — the other variable
+    quad_fac: Optional[jax.Array]  # f[n, Qmax] — raw (unnormalized) factor
+    quad_mask: Optional[jax.Array]  # bool[n, Qmax]
+
     # static metadata (m, n, Kr, Kc are BUCKETED sizes; *_real are the
     # instance's true counts)
     m: int = dataclasses.field(metadata=dict(static=True))
@@ -74,6 +81,8 @@ class CompiledProblem:
     Amax: int = dataclasses.field(default=0, metadata=dict(static=True))
     m_real: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_real: int = dataclasses.field(default=0, metadata=dict(static=True))
+    has_quad: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    Qmax: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 Z_ENUM_MAX = 12  # rows up to this length get exact enumeration
@@ -100,6 +109,7 @@ def compile_problem(
     constraints: List[MergedConstraint],
     n_variables: int,
     dtype: Any = jnp.float32,
+    qelements=None,
 ) -> CompiledProblem:
     """Build the padded row/column views from merged constraints.
 
@@ -224,6 +234,36 @@ def compile_problem(
         assign_valid = jnp.asarray(av)
         enum_row = jnp.asarray(enum_row_np)
 
+    quad_var = quad_fac = quad_mask = None
+    has_quad = bool(qelements)
+    Qmax = 0
+    if has_quad:
+        # per-variable quadratic neighbor lists: c(j, x) adds f_q * x[other]
+        # for every quadratic term touching j; squares (a == b) contribute
+        # f * x_j, realized with other == j so x_j is active exactly when j
+        # itself is set (reference: quadratic_cost_type::operator(),
+        # itm-common.hpp:1392-1421)
+        neigh: List[List[tuple]] = [[] for _ in range(n)]
+        for q in qelements:
+            a_i, b_i, f = q.variable_index_a, q.variable_index_b, q.factor
+            if a_i == b_i:
+                neigh[a_i].append((a_i, f))
+            else:
+                neigh[a_i].append((b_i, f))
+                neigh[b_i].append((a_i, f))
+        Qmax = _bucket(max((len(v) for v in neigh), default=1) or 1, 4)
+        qv = np.zeros((n, Qmax), dtype=np.int32)
+        qf = np.zeros((n, Qmax), dtype=np.float64)
+        qm = np.zeros((n, Qmax), dtype=bool)
+        for j, terms in enumerate(neigh):
+            for t, (other, f) in enumerate(terms):
+                qv[j, t] = other
+                qf[j, t] = f
+                qm[j, t] = True
+        quad_var = jnp.asarray(qv)
+        quad_fac = jnp.asarray(qf, dtype=dtype)
+        quad_mask = jnp.asarray(qm)
+
     return CompiledProblem(
         row_vars=jnp.asarray(row_vars),
         row_factor=jnp.asarray(row_factor, dtype=dtype),
@@ -239,6 +279,9 @@ def compile_problem(
         assign_bits=assign_bits,
         assign_valid=assign_valid,
         enum_row=enum_row,
+        quad_var=quad_var,
+        quad_fac=quad_fac,
+        quad_mask=quad_mask,
         m=m,
         n=n,
         Kr=Kr,
@@ -247,4 +290,6 @@ def compile_problem(
         Amax=Amax,
         m_real=m_real,
         n_real=n_real,
+        has_quad=has_quad,
+        Qmax=Qmax,
     )

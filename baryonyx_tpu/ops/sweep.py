@@ -113,6 +113,7 @@ def sweep(
     minimize: bool = True,
     block_size: int = 8,
     random_solver: bool = False,
+    quad_fac: Optional[jax.Array] = None,  # f[n, Qmax] normalized factors
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """One full pass over the scheduled rows for all replicas.
 
@@ -168,16 +169,28 @@ def sweep(
         gvars = jnp.where(mask, vars0, 0)
         Sa = S_api[gvars]  # [B, Kr, R]
         Sp = S_p[gvars]  # [B, Kr, R]
-        c_v = cost[gvars]  # [B, Kr]
+        # c(j, x): linear plus active quadratic neighbor terms
+        # (reference: quadratic_cost_type::operator(),
+        # itm-common.hpp:1404-1416)
+        if cp.has_quad and quad_fac is not None:
+            qv = cp.quad_var[gvars]  # [B, Kr, Q]
+            qf = quad_fac[gvars]
+            qm = cp.quad_mask[gvars]
+            qx = x[qv].astype(dtype)  # [B, Kr, Q, R]
+            cx = cost[gvars][:, :, None] + jnp.sum(
+                jnp.where(qm[..., None], qf[..., None] * qx, 0), axis=2
+            )  # [B, Kr, R]
+        else:
+            cx = cost[gvars][:, :, None]
 
         # own-row decay correction: the reference decays P[k,:] *= theta
         # before the column walk; S_p still holds the un-decayed values
         Sp = Sp + a3 * (theta - 1) * P_rows
         P_dec = theta * P_rows
 
-        r = c_v[:, :, None] - Sa - Sp
+        r = cx - Sa - Sp
         r = jnp.where(a3 < 0, -r, r)
-        r = r + amp[None, None, :] * c_v[:, :, None]
+        r = r + amp[None, None, :] * cx
         if random_solver:
             r = jax.random.uniform(
                 jax.random.fold_in(kb, 2), (B, Kr, R), dtype

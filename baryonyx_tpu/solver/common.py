@@ -72,6 +72,33 @@ def normalize_costs(
     return _div(c, np.max(c)) if c.size else c
 
 
+def normalize_costs_quad(
+    c: np.ndarray,
+    qfac: np.ndarray,
+    norm: CostNormType,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Normalize linear + quadratic factors by a shared divisor
+    (reference: quadratic_cost_type::make_*_norm — e.g. loo takes the max
+    over both element sets and divides both, itm-common.hpp:1384-1400)."""
+
+    def _apply(div):
+        if np.isfinite(div) and div != 0:
+            return c / div, qfac / div
+        return c.copy(), qfac.copy()
+
+    flat = qfac[qfac != 0]
+    if norm == CostNormType.none:
+        return c.copy(), qfac.copy()
+    if norm == CostNormType.l1:
+        return _apply(np.sum(np.abs(c)) + np.sum(np.abs(flat)))
+    if norm == CostNormType.l2:
+        return _apply(np.sum(c * c) + np.sum(flat * flat))
+    # random + loo both end in a loo-style divide
+    div = max(np.max(c) if c.size else 0.0, np.max(flat) if flat.size else 0.0)
+    return _apply(div)
+
+
 def min_abs_nonzero(c: np.ndarray) -> float:
     """reference: default_cost_type::min (itm-common.hpp:1084-1094)."""
     nz = np.abs(c[c != 0])

@@ -146,12 +146,14 @@ def evolve(
         if cp.has_z:
             if random_solver:
                 raise NotImplementedError("random solver for Z problems")
+            if cp.has_quad:
+                raise NotImplementedError("quadratic objective on a Z problem")
             from baryonyx_tpu.ops.zsweep import z_sweep as kernel
 
             kw = {}
         else:
             kernel = sweep
-            kw = dict(random_solver=random_solver)
+            kw = dict(random_solver=random_solver, quad_fac=hp.get("quad_fac"))
         x, P, pi, viol, remaining = kernel(
             cp, rs.x, P=rs.P, pi=rs.pi, cost=cost_norm, sched=sched,
             order=order2, kappa=kappa_eff, delta=hp["delta"],
@@ -160,6 +162,12 @@ def evolve(
         )
 
         value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
+        if "qa" in hp:
+            value = value + jnp.einsum(
+                "q,qr->r",
+                hp["qfv"],
+                x[hp["qa"]].astype(dtype) * x[hp["qb"]].astype(dtype),
+            )
         found = remaining == 0  # [R]
         it1 = rs.iter_i + 1
 
@@ -355,9 +363,23 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
 
-    cp = compile_problem(constraints, n, dtype=dtype)
+    cp = compile_problem(
+        constraints, n, dtype=dtype, qelements=pb.objective.qelements
+    )
     cost_orig_real = common.build_cost_vector(pb, n)
-    cost_norm_real = common.normalize_costs(cost_orig_real, params.cost_norm, rng)
+    quad_fac_norm = None
+    if cp.has_quad:
+        cost_norm_real, q_norm = common.normalize_costs_quad(
+            cost_orig_real,
+            np.asarray(cp.quad_fac, np.float64),
+            params.cost_norm,
+            rng,
+        )
+        quad_fac_norm = jnp.asarray(q_norm, dtype)
+    else:
+        cost_norm_real = common.normalize_costs(
+            cost_orig_real, params.cost_norm, rng
+        )
     pad = cp.n - n
     cost_orig = np.pad(cost_orig_real, (0, pad))
     cost_norm = np.pad(cost_norm_real, (0, pad))
@@ -443,6 +465,17 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         ),
         use_cycle=jnp.asarray(params.order == ConstraintOrder.cycle, bool),
     )
+    if cp.has_quad:
+        hp["quad_fac"] = quad_fac_norm
+        hp["qa"] = jnp.asarray(
+            [q.variable_index_a for q in pb.objective.qelements], jnp.int32
+        )
+        hp["qb"] = jnp.asarray(
+            [q.variable_index_b for q in pb.objective.qelements], jnp.int32
+        )
+        hp["qfv"] = jnp.asarray(
+            [q.factor for q in pb.objective.qelements], dtype
+        )
 
     # replica init: draw starting points from the population
     init_idx = np.minimum(

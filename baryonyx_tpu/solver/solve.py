@@ -144,12 +144,14 @@ def _step(
             # the reference's dispatch has no random solver for Z problems
             # (itm.hpp:181-200 raises internal_error)
             raise NotImplementedError("random solver for Z problems")
+        if cp.has_quad:
+            raise NotImplementedError("quadratic objective on a Z problem")
         from baryonyx_tpu.ops.zsweep import z_sweep as kernel
 
         kw = {}
     else:
         kernel = sweep
-        kw = dict(random_solver=random_solver)
+        kw = dict(random_solver=random_solver, quad_fac=hp.get("quad_fac"))
     x, P, pi, viol, remaining = kernel(
         cp,
         st.x,
@@ -171,6 +173,10 @@ def _step(
 
     # best tracking (reference: store_if_better, :242-261)
     value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
+    if "qa" in hp:
+        xa = x[hp["qa"]].astype(dtype)
+        xb = x[hp["qb"]].astype(dtype)
+        value = value + jnp.einsum("q,qr->r", hp["qfv"], xa * xb)
     feasible = remaining == 0
     better_value = (value < st.best_value) if minimize else (value > st.best_value)
     improves = jnp.where(
@@ -378,9 +384,23 @@ def solve_compiled(
     if key is None:
         key = jax.random.key(seed)
 
-    cp = compile_problem(constraints, n, dtype=dtype)
+    cp = compile_problem(
+        constraints, n, dtype=dtype, qelements=pb.objective.qelements
+    )
     cost_orig_real = common.build_cost_vector(pb, n)
-    cost_norm_real = common.normalize_costs(cost_orig_real, params.cost_norm, rng)
+    quad_fac_norm = None
+    if cp.has_quad:
+        cost_norm_real, q_norm = common.normalize_costs_quad(
+            cost_orig_real,
+            np.asarray(cp.quad_fac, np.float64),
+            params.cost_norm,
+            rng,
+        )
+        quad_fac_norm = jnp.asarray(q_norm, dtype)
+    else:
+        cost_norm_real = common.normalize_costs(
+            cost_orig_real, params.cost_norm, rng
+        )
     pad = cp.n - n
     cost_orig = np.pad(cost_orig_real, (0, pad))
     cost_norm = np.pad(cost_norm_real, (0, pad))
@@ -399,6 +419,17 @@ def solve_compiled(
     co = jnp.asarray(cost_orig, dtype)
     cc = jnp.asarray(pb.objective.value, dtype)
     hp = make_hyper(params, cost_norm, dtype)
+    if cp.has_quad:
+        hp["quad_fac"] = quad_fac_norm
+        hp["qa"] = jnp.asarray(
+            [q.variable_index_a for q in pb.objective.qelements], jnp.int32
+        )
+        hp["qb"] = jnp.asarray(
+            [q.variable_index_b for q in pb.objective.qelements], jnp.int32
+        )
+        hp["qfv"] = jnp.asarray(
+            [q.factor for q in pb.objective.qelements], dtype
+        )
 
     def time_left() -> bool:
         return (
