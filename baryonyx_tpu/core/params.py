@@ -170,6 +170,11 @@ class SolverParameters:
     # time limit / callbacks (replaces the reference's 1 Hz polling thread,
     # reference: itm-optimizer-common.hpp:836-857).
     chunk_size: int = 50
+    # Optimize-mode preemption recovery (no reference equivalent — flagged
+    # as new TPU-native scope in SURVEY.md section 5): population saved to
+    # this .npz path every checkpoint_every seconds and restored on start.
+    checkpoint_path: str = ""
+    checkpoint_every: float = 30.0
 
     def validated(self, limit_for_w: int | None = None) -> "SolverParameters":
         """Return a clamped copy (reference: private.cpp:50-172).

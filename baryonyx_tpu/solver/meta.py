@@ -57,15 +57,15 @@ def _score(res: Result, minimize: bool) -> float:
     return v if minimize else -v
 
 
-def manual_optimize(ctx: Context, raw: RawProblem) -> Result:
-    """5^5 odometer grid walk, then re-run with the best setting
+def manual_optimize(ctx: Context, raw: RawProblem, grid_len: int = 5) -> Result:
+    """grid_len^5 odometer grid walk, then re-run with the best setting
     (reference: manual-optimizer.cpp:31-174 — the reference builds each
     axis as 5 increasing values from the current parameter; its axis-fill
     loops reuse the theta array by copy-paste, a bug not replicated)."""
     pb = _prepare(ctx, raw)
     minimize = pb.type == ObjectiveType.minimize
     p = ctx.parameters
-    L = 5
+    L = grid_len
 
     def axis(start, span):
         start = max(start, 0.0)
@@ -94,6 +94,9 @@ def manual_optimize(ctx: Context, raw: RawProblem) -> Result:
     return _run_with(ctx, pb, best_values)
 
 
+NM_BUDGET_EVALS = 40
+
+
 def nelder_mead_optimize(ctx: Context, raw: RawProblem) -> Result:
     """Derivative-free Nelder-Mead over the 5 parameters with the
     reference's bounds (reference: nlopt-optimizer.cpp:34-168). A
@@ -114,7 +117,7 @@ def nelder_mead_optimize(ctx: Context, raw: RawProblem) -> Result:
     )
     x0 = np.clip(x0, _LOW, _UP)
 
-    budget_evals = 40
+    budget_evals = NM_BUDGET_EVALS
     evals = [0]
 
     def f(x) -> float:

@@ -413,6 +413,30 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     )
     pop = sort_population(pop, minimize)
 
+    if params.checkpoint_path:
+        import os
+
+        from baryonyx_tpu.checkpoint import load_population
+
+        if os.path.exists(params.checkpoint_path):
+            try:
+                saved = load_population(params.checkpoint_path)
+                if saved.x.shape == pop.x.shape:
+                    pop = sort_population(
+                        Population(
+                            x=saved.x.astype(jnp.int32),
+                            value=saved.value.astype(dtype),
+                            remaining=saved.remaining.astype(jnp.int32),
+                            hash=saved.hash,
+                        ),
+                        minimize,
+                    )
+                    ctx.notice(
+                        "- resumed population from {}\n", params.checkpoint_path
+                    )
+            except Exception as e:  # corrupted checkpoint: start fresh
+                ctx.warning("- checkpoint load failed: {}\n", e)
+
     bastert = jnp.asarray(
         np.pad(common.init_bastert(cost_orig_real, minimize), (0, pad)),
         jnp.int32,
@@ -518,6 +542,7 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
             "optimize: no time limit given; defaulting to {}s\n", time_limit
         )
 
+    last_ckpt = time.monotonic()
     # do-while: at least one chunk always runs — the first call also pays
     # jit compilation, which can alone exceed a small time limit
     chunk = max(1, params.chunk_size)
@@ -536,6 +561,13 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
                 time.monotonic() - t0,
                 int(jnp.sum(state.replicas.restarts)),
             )
+        if params.checkpoint_path and (
+            time.monotonic() - last_ckpt >= params.checkpoint_every
+        ):
+            from baryonyx_tpu.checkpoint import save_population
+
+            save_population(params.checkpoint_path, state.pop)
+            last_ckpt = time.monotonic()
         if (time.monotonic() - t0) >= time_limit:
             break
 
