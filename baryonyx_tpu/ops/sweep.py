@@ -114,7 +114,9 @@ def sweep(
     block_size: int = 8,
     random_solver: bool = False,
     quad_fac: Optional[jax.Array] = None,  # f[n, Qmax] normalized factors
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    S: Optional[Tuple[jax.Array, jax.Array]] = None,  # carried column sums
+    S_fresh: Optional[jax.Array] = None,  # bool: carried sums still exact
+) -> Tuple:
     """One full pass over the scheduled rows for all replicas.
 
     ``random_solver=True`` replaces the computed reduced costs with
@@ -125,7 +127,13 @@ def sweep(
     When the caller compacts the scheduled rows (union over replicas) to
     the front of ``order``, ``n_rows`` bounds the block loop dynamically.
 
-    Returns (x, P, pi, new_violated [m,R], remaining [R])."""
+    The column sums S = (S_api, S_p) are updated incrementally inside the
+    sweep; callers may carry them across sweeps (P and pi change only in
+    here, so carried sums stay consistent up to float accumulation) and
+    pass ``S_fresh=False`` periodically to force an exact recompute that
+    bounds the drift.
+
+    Returns (x, P, pi, S_api, S_p, new_violated [m,R], remaining [R])."""
     m, n, Kr = cp.m, cp.n, cp.Kr
     B = block_size
     mp = order.shape[0]
@@ -148,7 +156,14 @@ def sweep(
     half = jnp.asarray(0.5, dtype)
     mid = jnp.asarray(1.5, dtype)
 
-    S_api, S_p = column_sums(cp, P, pi)
+    if S is None:
+        S_api, S_p = column_sums(cp, P, pi)
+    else:
+        S_api, S_p = jax.lax.cond(
+            S_fresh,
+            lambda: S,
+            lambda: column_sums(cp, P, pi),
+        )
 
     def block_body(b, carry):
         x, P, pi, S_api, S_p = carry
@@ -196,13 +211,22 @@ def sweep(
                 jax.random.fold_in(kb, 2), (B, Kr, R), dtype
             ) - jnp.asarray(0.5, dtype)
 
+        # Random tie-breaks (reference: random_shuffle_unique on equal runs,
+        # itm-common.hpp:117-132) realized as sub-resolution noise on the
+        # sort key; with all keys distinct, "sorted rank <= selected"
+        # becomes a simple threshold test against the (selected+1)-th
+        # smallest key — no inverse permutation needed, and the sort runs
+        # single-operand.
+        tb = jax.random.uniform(k_tie, (B, Kr, R), dtype=dtype)
+        eps = jnp.asarray(1e-6, dtype) * (
+            1 + jnp.max(jnp.abs(jnp.where(mask[:, :, None], r, 0)))
+        )
+        r = r + (tb - jnp.asarray(0.5, dtype)) * eps
         keyvals = jnp.where(mask[:, :, None], r, big)
         sortv = keyvals if minimize else -keyvals
-        tb = jax.random.uniform(k_tie, (B, Kr, R), dtype=jnp.float32)
-        slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
-        sv, _, sslot = jax.lax.sort((sortv, tb, slots), dimension=1, num_keys=2)
+        sv = jax.lax.sort(sortv, dimension=1)
         Rs = sv if minimize else -sv  # [B, Kr, R] sorted reduced costs
-        rank = jnp.argsort(sslot, axis=1)  # inverse permutation
+        slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
 
         r_size = cp.r_size[rows_c][:, None]  # [B, 1]
         c_size = cp.neg_count[rows_c][:, None]
@@ -241,7 +265,14 @@ def sweep(
             case_none | case_all, jnp.asarray(0, dtype), (Rs_sel + Rs_sel1) * half
         )  # [B, R]
 
-        chosen = rank <= selected[:, None, :]  # [B, Kr, R]
+        # membership by threshold: slot chosen iff its (noised, distinct)
+        # key is among the selected+1 smallest
+        thr = jnp.where(
+            selected[:, None, :] < 0,
+            -jnp.inf,
+            jnp.take_along_axis(sv, jnp.clip(selected, 0, Kr - 1)[:, None, :], axis=1),
+        )
+        chosen = sortv <= thr  # [B, Kr, R]
         s = jnp.where(chosen, one, -one)
         new_P = P_dec + s * jnp.sign(a3) * d[:, None, :]
         bits = (s * a3 > 0).astype(jnp.int32)
@@ -275,4 +306,12 @@ def sweep(
         0, n_blocks, block_body, (x, P, pi, S_api, S_p)
     )
     new_viol = violated_mask(cp, x)
-    return x, P, pi, new_viol, jnp.sum(new_viol.astype(jnp.int32), axis=0)
+    return (
+        x,
+        P,
+        pi,
+        S_api,
+        S_p,
+        new_viol,
+        jnp.sum(new_viol.astype(jnp.int32), axis=0),
+    )

@@ -14,8 +14,13 @@ import os
 def setup_cache(path: str | None = None) -> None:
     import jax
 
+    # scope by platform: executables cached through the remote-compile
+    # tunnel carry that machine's CPU features and must not be loaded by
+    # local CPU processes (SIGILL risk)
+    platform = os.environ.get("JAX_PLATFORMS", "default") or "default"
+    platform = platform.split(",")[0].strip() or "default"
     cache_dir = path or os.environ.get(
-        "BARYONYX_TPU_CACHE", "/tmp/baryonyx_tpu_jax_cache"
+        "BARYONYX_TPU_CACHE", f"/tmp/baryonyx_tpu_jax_cache_{platform}"
     )
     os.makedirs(cache_dir, exist_ok=True)
     try:

@@ -70,6 +70,8 @@ class ReplicaState(NamedTuple):
     x: jax.Array  # int32[n, R]
     P: jax.Array  # f[m, Kr, R]
     pi: jax.Array  # f[m, R]
+    S_api: jax.Array  # f[n, R] — carried column sums (see ops/sweep.py)
+    S_p: jax.Array  # f[n, R]
     viol: jax.Array  # bool[m, R]
     kappa: jax.Array  # f[R]
     kappa_start: jax.Array  # f[R]
@@ -153,13 +155,23 @@ def evolve(
             kw = {}
         else:
             kernel = sweep
-            kw = dict(random_solver=random_solver, quad_fac=hp.get("quad_fac"))
-        x, P, pi, viol, remaining = kernel(
+            kw = dict(
+                random_solver=random_solver,
+                quad_fac=hp.get("quad_fac"),
+                S=(rs.S_api, rs.S_p),
+                S_fresh=(state.sweeps % 16) != 0,
+            )
+        out = kernel(
             cp, rs.x, P=rs.P, pi=rs.pi, cost=cost_norm, sched=sched,
             order=order2, kappa=kappa_eff, delta=hp["delta"],
             theta=hp["theta"], key=k_sweep, obj_amp=amp, n_rows=n_rows,
             minimize=minimize, block_size=block_size, **kw,
         )
+        if cp.has_z:
+            x, P, pi, viol, remaining = out
+            S_api, S_p = rs.S_api, rs.S_p
+        else:
+            x, P, pi, S_api, S_p, viol, remaining = out
 
         value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
         if "qa" in hp:
@@ -317,7 +329,7 @@ def evolve(
         viol = jnp.where(restart[None, :], violated_mask(cp, x), viol)
 
         new_rs = ReplicaState(
-            x=x, P=P, pi=pi, viol=viol, kappa=kappa,
+            x=x, P=P, pi=pi, S_api=S_api, S_p=S_p, viol=viol, kappa=kappa,
             kappa_start=new_kappa_start, kappa_append=new_append,
             iter_i=iter_i, phase=phase, push_idx=push_idx,
             best_remaining=best_rem,
@@ -515,6 +527,8 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         x=x0,
         P=jnp.zeros((cp.m, cp.Kr, R), dtype),
         pi=jnp.zeros((cp.m, R), dtype),
+        S_api=jnp.zeros((cp.n, R), dtype),
+        S_p=jnp.zeros((cp.n, R), dtype),
         viol=viol0,
         kappa=jnp.full((R,), params.kappa_min, dtype),
         kappa_start=jnp.full((R,), params.kappa_min, dtype),

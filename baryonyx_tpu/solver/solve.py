@@ -39,6 +39,8 @@ class DeviceState(NamedTuple):
     x: jax.Array  # int32[n, 1]
     P: jax.Array  # f[m, Kr, 1]
     pi: jax.Array  # f[m, 1]
+    S_api: jax.Array  # f[n, 1] — carried column sums (see ops/sweep.py)
+    S_p: jax.Array  # f[n, 1]
     viol: jax.Array  # bool[m, 1]
     kappa: jax.Array  # f[1]
     loop: jax.Array  # int32: global iteration counter
@@ -75,6 +77,8 @@ def make_initial_state(
         x=x,
         P=jnp.zeros((m, cp.Kr, 1), dtype),
         pi=jnp.zeros((m, 1), dtype),
+        S_api=jnp.zeros((n, 1), dtype),
+        S_p=jnp.zeros((n, 1), dtype),
         viol=viol,
         kappa=jnp.full((1,), params.kappa_min, dtype),
         loop=jnp.asarray(0, jnp.int32),
@@ -151,8 +155,15 @@ def _step(
         kw = {}
     else:
         kernel = sweep
-        kw = dict(random_solver=random_solver, quad_fac=hp.get("quad_fac"))
-    x, P, pi, viol, remaining = kernel(
+        # carried column sums: recompute exactly every 16 sweeps to bound
+        # float drift from the incremental updates
+        kw = dict(
+            random_solver=random_solver,
+            quad_fac=hp.get("quad_fac"),
+            S=(st.S_api, st.S_p),
+            S_fresh=(st.loop % 16) != 0,
+        )
+    out = kernel(
         cp,
         st.x,
         P=st.P,
@@ -170,6 +181,11 @@ def _step(
         block_size=block_size,
         **kw,
     )
+    if cp.has_z:
+        x, P, pi, viol, remaining = out
+        S_api, S_p = st.S_api, st.S_p
+    else:
+        x, P, pi, S_api, S_p, viol, remaining = out
 
     # best tracking (reference: store_if_better, :242-261)
     value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
@@ -226,6 +242,8 @@ def _step(
         x=x,
         P=P,
         pi=pi,
+        S_api=S_api,
+        S_p=S_p,
         viol=viol,
         kappa=kappa,
         loop=st.loop + 1,

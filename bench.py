@@ -70,7 +70,7 @@ def main() -> None:
             x, P, pi, key = c
             key, k = jax.random.split(key)
             sched = violated_mask(cp, x)
-            x, P, pi, viol, rem = sweep(
+            x, P, pi, _, _, viol, rem = sweep(
                 cp, x, P, pi, cost_norm, sched, order,
                 jnp.full((R,), 0.1, jnp.float32), jnp.float32(0.01),
                 jnp.float32(0.5), k, jnp.zeros((R,), jnp.float32),
