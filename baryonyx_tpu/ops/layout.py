@@ -71,6 +71,10 @@ class CompiledProblem:
     quad_fac: Optional[jax.Array]  # f[n, Qmax] — raw (unnormalized) factor
     quad_mask: Optional[jax.Array]  # bool[n, Qmax]
 
+    # dense factor matrix [m, n] for MXU-path activities (built when the
+    # problem is small enough; None for very large instances)
+    dense_A: Optional[jax.Array]
+
     # static metadata (m, n, Kr, Kc are BUCKETED sizes; *_real are the
     # instance's true counts)
     m: int = dataclasses.field(metadata=dict(static=True))
@@ -234,6 +238,15 @@ def compile_problem(
         assign_valid = jnp.asarray(av)
         enum_row = jnp.asarray(enum_row_np)
 
+    # dense A for matmul activities — worth it while m*n stays modest
+    dense_A = None
+    if m * n <= 1 << 25:  # <= 128 MB f32
+        dA = np.zeros((m, n), dtype=np.float64)
+        for k, cst in enumerate(constraints):
+            for el in cst.elements:
+                dA[k, el.variable_index] = el.factor
+        dense_A = jnp.asarray(dA, dtype=dtype)
+
     quad_var = quad_fac = quad_mask = None
     has_quad = bool(qelements)
     Qmax = 0
@@ -282,6 +295,7 @@ def compile_problem(
         quad_var=quad_var,
         quad_fac=quad_fac,
         quad_mask=quad_mask,
+        dense_A=dense_A,
         m=m,
         n=n,
         Kr=Kr,

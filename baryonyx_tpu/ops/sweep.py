@@ -54,7 +54,17 @@ from baryonyx_tpu.ops.layout import CompiledProblem
 
 
 def activities(cp: CompiledProblem, x: jax.Array) -> jax.Array:
-    """Row activities A x. x: [n] or [n, R] → [m] or [m, R]."""
+    """Row activities A x. x: [n] or [n, R] → [m] or [m, R].
+
+    Uses the dense factor matrix (one MXU matmul) when available — gathers
+    of 4-byte elements are the bottleneck on TPU — falling back to the
+    padded-row gather for very large instances."""
+    if cp.dense_A is not None and x.ndim == 2:
+        return jnp.dot(
+            cp.dense_A,
+            x.astype(cp.dense_A.dtype),
+            preferred_element_type=cp.dense_A.dtype,
+        )
     xg = x[cp.row_vars]  # [m, Kr] or [m, Kr, R]
     a = cp.row_factor
     mask = cp.row_mask
@@ -77,6 +87,24 @@ def violated_mask(cp: CompiledProblem, x: jax.Array) -> jax.Array:
     return (act < bmin) | (act > bmax)
 
 
+def _onehot_gather(S: jax.Array, idx_flat: jax.Array, n: int) -> jax.Array:
+    """rows of S at idx_flat via a one-hot matmul (MXU) — out-of-range
+    indices yield zero rows (drop semantics). S: [n, R] → [E, R]."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx_flat.shape[0], n), 1)
+    oh = (iota == idx_flat[:, None]).astype(S.dtype)
+    return jnp.dot(oh, S, preferred_element_type=S.dtype)
+
+
+def _onehot_scatter_add(
+    S: jax.Array, idx_flat: jax.Array, upd_flat: jax.Array, n: int
+) -> jax.Array:
+    """S[idx] += upd via the transposed one-hot matmul; duplicate indices
+    accumulate, out-of-range indices drop. upd_flat: [E, R]."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, idx_flat.shape[0]), 0)
+    oh = (iota == idx_flat[None, :]).astype(S.dtype)
+    return S + jnp.dot(oh, upd_flat, preferred_element_type=S.dtype)
+
+
 def column_sums(
     cp: CompiledProblem, P: jax.Array, pi: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -88,8 +116,12 @@ def column_sums(
     contrib_p = (a * P).reshape(-1, R)
     idx = jnp.where(cp.row_mask, cp.row_vars, cp.n).reshape(-1)
     zeros = jnp.zeros((cp.n, R), P.dtype)
-    S_api = zeros.at[idx].add(contrib_api, mode="drop")
-    S_p = zeros.at[idx].add(contrib_p, mode="drop")
+    if idx.shape[0] * cp.n <= (1 << 24):
+        S_api = _onehot_scatter_add(zeros, idx, contrib_api, cp.n)
+        S_p = _onehot_scatter_add(zeros, idx, contrib_p, cp.n)
+    else:
+        S_api = zeros.at[idx].add(contrib_api, mode="drop")
+        S_p = zeros.at[idx].add(contrib_p, mode="drop")
     return S_api, S_p
 
 
@@ -181,9 +213,17 @@ def sweep(
         a3 = a[:, :, None]
         P_rows = P[rows_c]  # [B, Kr, R]
 
+        # 4-byte-element gathers are the TPU bottleneck; up to a size cap,
+        # gather/scatter of S rows run as one-hot matmuls on the MXU
+        use_onehot = B * Kr * n <= (1 << 24)
         gvars = jnp.where(mask, vars0, 0)
-        Sa = S_api[gvars]  # [B, Kr, R]
-        Sp = S_p[gvars]  # [B, Kr, R]
+        if use_onehot:
+            gidx = jnp.where(mask, vars0, n).reshape(-1)
+            Sa = _onehot_gather(S_api, gidx, n).reshape(B, Kr, R)
+            Sp = _onehot_gather(S_p, gidx, n).reshape(B, Kr, R)
+        else:
+            Sa = S_api[gvars]  # [B, Kr, R]
+            Sp = S_p[gvars]  # [B, Kr, R]
         # c(j, x): linear plus active quadratic neighbor terms
         # (reference: quadratic_cost_type::operator(),
         # itm-common.hpp:1404-1416)
@@ -250,10 +290,15 @@ def sweep(
         sel_ineq = jnp.where(any_c, first - 1, hi[:, 0, :] - 1)
         selected = jnp.where(is_eq, sel_eq, sel_ineq)  # [B, R]
 
+        # one scalar per (row, lane) from the sorted array: take_along_axis
+        # lowers to a pathological per-element gather on TPU (627 us per
+        # block in profiles) — a masked reduction is ~300x cheaper
         selc = jnp.clip(selected, 0, Kr - 1)
         selc1 = jnp.clip(selected + 1, 0, Kr - 1)
-        Rs_sel = jnp.take_along_axis(Rs, selc[:, None, :], axis=1)[:, 0, :]
-        Rs_sel1 = jnp.take_along_axis(Rs, selc1[:, None, :], axis=1)[:, 0, :]
+        oh_sel = slots == selc[:, None, :]
+        oh_sel1 = slots == selc1[:, None, :]
+        Rs_sel = jnp.sum(jnp.where(oh_sel, Rs, 0), axis=1)
+        Rs_sel1 = jnp.sum(jnp.where(oh_sel1, Rs, 0), axis=1)
         Rs0 = Rs[:, 0, :]
 
         case_none = selected < 0
@@ -267,11 +312,8 @@ def sweep(
 
         # membership by threshold: slot chosen iff its (noised, distinct)
         # key is among the selected+1 smallest
-        thr = jnp.where(
-            selected[:, None, :] < 0,
-            -jnp.inf,
-            jnp.take_along_axis(sv, jnp.clip(selected, 0, Kr - 1)[:, None, :], axis=1),
-        )
+        thr_val = jnp.sum(jnp.where(oh_sel, sv, 0), axis=1)  # [B, R]
+        thr = jnp.where(selected < 0, -jnp.inf, thr_val)[:, None, :]
         chosen = sortv <= thr  # [B, Kr, R]
         s = jnp.where(chosen, one, -one)
         new_P = P_dec + s * jnp.sign(a3) * d[:, None, :]
@@ -288,10 +330,14 @@ def sweep(
 
         # incremental column sums (row-local updates)
         sidx = jnp.where(mask & row_ok[:, None], vars0, n).reshape(-1)
-        S_api = S_api.at[sidx].add(
-            (a3 * dpi[:, None, :]).reshape(-1, R), mode="drop"
-        )
-        S_p = S_p.at[sidx].add((a3 * (new_P - P_rows)).reshape(-1, R), mode="drop")
+        upd_api = (a3 * dpi[:, None, :]).reshape(-1, R)
+        upd_p = (a3 * (new_P - P_rows)).reshape(-1, R)
+        if use_onehot:
+            S_api = _onehot_scatter_add(S_api, sidx, upd_api, n)
+            S_p = _onehot_scatter_add(S_p, sidx, upd_p, n)
+        else:
+            S_api = S_api.at[sidx].add(upd_api, mode="drop")
+            S_p = S_p.at[sidx].add(upd_p, mode="drop")
 
         # priority scatter: later row in block wins conflicting x writes
         prio = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 0)

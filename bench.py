@@ -44,11 +44,12 @@ def main() -> None:
     csts = make_merged_constraints(ctx, pb)
     n = len(pb.vars.values)
     cp = compile_problem(csts, n)
-    cost = common.build_cost_vector(pb, n)
+    cost = np.pad(common.build_cost_vector(pb, n), (0, cp.n - n))
     cost_norm = jnp.asarray(
         common.normalize_costs(cost, ctx.parameters.cost_norm, np.random.default_rng(0)),
         jnp.float32,
     )
+    n = cp.n  # bucketed size; padded vars cost 0 and join no row
 
     R = 1024
     B = 50
@@ -64,20 +65,27 @@ def main() -> None:
 
     import functools
 
+    S0 = (
+        jnp.zeros((cp.n, R), jnp.float32),
+        jnp.zeros((cp.n, R), jnp.float32),
+    )
+
     @functools.partial(jax.jit, static_argnames=("nsteps",))
     def run(x, P, pi, key, nsteps):
-        def body(c, _):
-            x, P, pi, key = c
+        def body(c, i):
+            x, P, pi, S, key = c
             key, k = jax.random.split(key)
             sched = violated_mask(cp, x)
-            x, P, pi, _, _, viol, rem = sweep(
+            x, P, pi, Sa, Sp, viol, rem = sweep(
                 cp, x, P, pi, cost_norm, sched, order,
                 jnp.full((R,), 0.1, jnp.float32), jnp.float32(0.01),
                 jnp.float32(0.5), k, jnp.zeros((R,), jnp.float32),
-                None, True, B,
+                None, True, B, False, None, S, (i % 16) != 0,
             )
-            return (x, P, pi, key), rem
-        c, rems = jax.lax.scan(body, (x, P, pi, key), None, length=nsteps)
+            return (x, P, pi, (Sa, Sp), key), rem
+        c, rems = jax.lax.scan(
+            body, (x, P, pi, S0, key), jnp.arange(nsteps)
+        )
         return c[0], rems[-1]
 
     # NOTE: on this image's axon TPU tunnel, block_until_ready does not
