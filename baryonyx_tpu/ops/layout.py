@@ -87,6 +87,18 @@ class CompiledProblem:
     n_real: int = dataclasses.field(default=0, metadata=dict(static=True))
     has_quad: bool = dataclasses.field(default=False, metadata=dict(static=True))
     Qmax: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # reduction-based selection coverage (see ops/sweep.py): the k-of-n
+    # selection only ever reads ranks {selected, selected+1}; for most
+    # problem classes those are either adjacent to the nonpositive count
+    # (covered by two masked reductions) or within a small static distance
+    # J of the bottom/top of the sorted order (covered by J min/max
+    # extraction passes). When the static per-row analysis bounds those
+    # distances, the sweep skips lax.sort entirely.
+    J_bot: int = dataclasses.field(default=0, metadata=dict(static=True))
+    J_top: int = dataclasses.field(default=0, metadata=dict(static=True))
+    sel_reduction_ok: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 Z_ENUM_MAX = 12  # rows up to this length get exact enumeration
@@ -247,6 +259,37 @@ def compile_problem(
                 dA[k, el.variable_index] = el.factor
         dense_A = jnp.asarray(dA, dtype=dtype)
 
+    # Static rank-coverage analysis for sort-free selection. Per row the
+    # selection index is selected+1 = clip(cnt_nonpos, lo, hi) for
+    # inequalities (reference: select_variables walk,
+    # itm-solver-inequalities-01.cpp:193-206) or the constant
+    # min(bk + c_size, r_size) for equalities (reference:
+    # itm-solver-equalities-01.cpp:173-182). Ranks {selected, selected+1}
+    # are then reachable from: the nonpositive/positive boundary (two
+    # masked reductions), the bottom of the order (rank < J_bot), or the
+    # top (rank > r_size-1-J_top).
+    bot_need, top_need = 2, 1
+    for k in range(m_real):
+        rs = int(r_size[k])
+        cs = int(neg_count[k])
+        if is_eq[k]:
+            ke = min(int(bmin[k]) + cs, rs) - 1
+            b_need = ke + 2 if ke + 1 < rs else ke + 1
+            t_need = rs - ke
+            if b_need <= t_need:
+                bot_need = max(bot_need, b_need)
+            else:
+                top_need = max(top_need, t_need)
+        else:
+            lo = int(bmin[k]) + cs
+            hi = min(int(bmax[k]) + cs, rs)
+            # clip-lo: ranks lo-1, lo from the bottom
+            bot_need = max(bot_need, lo + 1)
+            # clip-hi: ranks hi-1, hi from the top (hi == rs is the
+            # select-all case, which reads only rank hi-1)
+            top_need = max(top_need, rs - hi + 1)
+    sel_reduction_ok = bot_need + top_need <= 8
+
     quad_var = quad_fac = quad_mask = None
     has_quad = bool(qelements)
     Qmax = 0
@@ -306,4 +349,7 @@ def compile_problem(
         n_real=n_real,
         has_quad=has_quad,
         Qmax=Qmax,
+        J_bot=bot_need,
+        J_top=top_need,
+        sel_reduction_ok=sel_reduction_ok,
     )

@@ -183,7 +183,6 @@ def sweep(
     kappa = jnp.asarray(kappa, dtype)
     kp = kappa / (1 - kappa)  # [R]
     amp = jnp.asarray(obj_amp, dtype)  # [R]
-    big = jnp.asarray(jnp.inf if minimize else -jnp.inf, dtype)
     one = jnp.asarray(1, dtype)
     half = jnp.asarray(0.5, dtype)
     mid = jnp.asarray(1.5, dtype)
@@ -200,7 +199,7 @@ def sweep(
     def block_body(b, carry):
         x, P, pi, S_api, S_p = carry
         kb = jax.random.fold_in(key, b)
-        k_tie, k_coin = jax.random.split(kb)
+        k_tie, _ = jax.random.split(kb)
 
         rows = jax.lax.dynamic_slice(order, (b * B,), (B,))  # [B]
         rows_c = jnp.minimum(rows, m - 1)
@@ -255,18 +254,18 @@ def sweep(
         # itm-common.hpp:117-132) realized as sub-resolution noise on the
         # sort key; with all keys distinct, "sorted rank <= selected"
         # becomes a simple threshold test against the (selected+1)-th
-        # smallest key — no inverse permutation needed, and the sort runs
-        # single-operand.
+        # smallest key — no inverse permutation needed. The Bernoulli coin
+        # at exactly-zero reduced cost (reference: stop_iterating,
+        # itm-common.hpp:150-163) is subsumed by the noise: a zero becomes
+        # a coin-flip-signed perturbation.
         tb = jax.random.uniform(k_tie, (B, Kr, R), dtype=dtype)
         eps = jnp.asarray(1e-6, dtype) * (
             1 + jnp.max(jnp.abs(jnp.where(mask[:, :, None], r, 0)))
         )
         r = r + (tb - jnp.asarray(0.5, dtype)) * eps
-        keyvals = jnp.where(mask[:, :, None], r, big)
-        sortv = keyvals if minimize else -keyvals
-        sv = jax.lax.sort(sortv, dimension=1)
-        Rs = sv if minimize else -sv  # [B, Kr, R] sorted reduced costs
-        slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
+        # sv: ascending-selection space (negated for maximize); masked
+        # slots sort to the end as +inf
+        sv = jnp.where(mask[:, :, None], r if minimize else -r, jnp.inf)
 
         r_size = cp.r_size[rows_c][:, None]  # [B, 1]
         c_size = cp.neg_count[rows_c][:, None]
@@ -275,31 +274,92 @@ def sweep(
         is_eq = cp.is_eq[rows_c][:, None]
 
         sel_eq = jnp.minimum(bkmin + c_size, r_size) - 1  # [B, 1]
+        lo = bkmin + c_size  # [B, 1]
+        hi = jnp.minimum(bkmax + c_size, r_size)
 
-        lo = (bkmin + c_size)[:, :, None]  # [B, 1, 1]
-        hi = jnp.minimum(bkmax + c_size, r_size)[:, :, None]
-        coin = jax.random.bernoulli(k_coin, 0.5, (B, Kr, R))
-        if minimize:
-            stop = (Rs > 0) | ((Rs == 0) & coin)
-        else:
-            stop = (Rs < 0) | ((Rs == 0) & coin)
-        pos = slots
-        cand = stop & (pos >= lo) & (pos <= hi)
-        first = jnp.argmax(cand, axis=1)  # [B, R]
-        any_c = jnp.any(cand, axis=1)
-        sel_ineq = jnp.where(any_c, first - 1, hi[:, 0, :] - 1)
+        # The walk over sorted positions [lo, hi] stopping at the first
+        # blocking-sign entry (reference: select_variables,
+        # itm-solver-inequalities-01.cpp:193-206) reduces to arithmetic on
+        # the nonpositive count: selected + 1 = clip(cnt, lo, hi).
+        cnt = jnp.sum((sv <= 0).astype(jnp.int32), axis=1)  # [B, R]
+        sel_ineq = jnp.clip(cnt, lo, hi) - 1
         selected = jnp.where(is_eq, sel_eq, sel_ineq)  # [B, R]
 
-        # one scalar per (row, lane) from the sorted array: take_along_axis
-        # lowers to a pathological per-element gather on TPU (627 us per
-        # block in profiles) — a masked reduction is ~300x cheaper
-        selc = jnp.clip(selected, 0, Kr - 1)
-        selc1 = jnp.clip(selected + 1, 0, Kr - 1)
-        oh_sel = slots == selc[:, None, :]
-        oh_sel1 = slots == selc1[:, None, :]
-        Rs_sel = jnp.sum(jnp.where(oh_sel, Rs, 0), axis=1)
-        Rs_sel1 = jnp.sum(jnp.where(oh_sel1, Rs, 0), axis=1)
-        Rs0 = Rs[:, 0, :]
+        if cp.sel_reduction_ok:
+            # Sort-free order statistics (see CompiledProblem.J_bot):
+            # lax.sort on [B, Kr, R] dominates the sweep (~40% in
+            # profiles); the needed ranks come from masked reductions.
+            J_bot, J_top = cp.J_bot, cp.J_top
+            bots = []
+            work = sv
+            for j in range(J_bot):
+                mj = jnp.min(work, axis=1)  # [B, R]
+                bots.append(mj)
+                if j + 1 < J_bot:
+                    work = jnp.where(work == mj[:, None, :], jnp.inf, work)
+            tops = []
+            work = jnp.where(mask[:, :, None], sv, -jnp.inf)
+            for j in range(J_top):
+                Mj = jnp.max(work, axis=1)
+                tops.append(Mj)
+                if j + 1 < J_top:
+                    work = jnp.where(work == Mj[:, None, :], -jnp.inf, work)
+            # boundary ranks cnt-1 / cnt: largest nonpositive, smallest
+            # positive
+            mx_np = jnp.max(jnp.where(sv <= 0, sv, -jnp.inf), axis=1)
+            mn_p = jnp.min(jnp.where(sv > 0, sv, jnp.inf), axis=1)
+
+            def pick(stack, idx):
+                acc = stack[-1]
+                for j in range(len(stack) - 2, -1, -1):
+                    acc = jnp.where(idx == j, stack[j], acc)
+                return acc
+
+            unclipped = (~is_eq) & (selected + 1 == cnt)
+            bot_ok = (selected >= 0) & (selected < J_bot)
+            sv_sel = jnp.where(
+                unclipped,
+                mx_np,
+                jnp.where(
+                    bot_ok, pick(bots, selected), pick(tops, r_size - 1 - selected)
+                ),
+            )
+            bot1_ok = selected + 1 < J_bot
+            sv_sel1 = jnp.where(
+                unclipped,
+                mn_p,
+                jnp.where(
+                    bot1_ok,
+                    pick(bots, selected + 1),
+                    pick(tops, r_size - 2 - selected),
+                ),
+            )
+            sv0 = bots[0]
+            if minimize:
+                Rs_sel, Rs_sel1, Rs0 = sv_sel, sv_sel1, sv0
+            else:
+                Rs_sel, Rs_sel1, Rs0 = -sv_sel, -sv_sel1, -sv0
+            thr = jnp.where(selected < 0, -jnp.inf, sv_sel)[:, None, :]
+        else:
+            # general fallback: full sort (deep rank needs, e.g. rows
+            # whose equality RHS sits mid-row)
+            svs = jax.lax.sort(sv, dimension=1)
+            slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
+            # one scalar per (row, lane) from the sorted array:
+            # take_along_axis lowers to a pathological per-element gather
+            # on TPU (627 us per block in profiles) — a masked reduction
+            # is ~300x cheaper
+            selc = jnp.clip(selected, 0, Kr - 1)
+            selc1 = jnp.clip(selected + 1, 0, Kr - 1)
+            oh_sel = slots == selc[:, None, :]
+            oh_sel1 = slots == selc1[:, None, :]
+            sv_sel = jnp.sum(jnp.where(oh_sel, svs, 0), axis=1)
+            sv_sel1 = jnp.sum(jnp.where(oh_sel1, svs, 0), axis=1)
+            if minimize:
+                Rs_sel, Rs_sel1, Rs0 = sv_sel, sv_sel1, svs[:, 0, :]
+            else:
+                Rs_sel, Rs_sel1, Rs0 = -sv_sel, -sv_sel1, -svs[:, 0, :]
+            thr = jnp.where(selected < 0, -jnp.inf, sv_sel)[:, None, :]
 
         case_none = selected < 0
         case_all = selected + 1 >= r_size
@@ -312,9 +372,7 @@ def sweep(
 
         # membership by threshold: slot chosen iff its (noised, distinct)
         # key is among the selected+1 smallest
-        thr_val = jnp.sum(jnp.where(oh_sel, sv, 0), axis=1)  # [B, R]
-        thr = jnp.where(selected < 0, -jnp.inf, thr_val)[:, None, :]
-        chosen = sortv <= thr  # [B, Kr, R]
+        chosen = sv <= thr  # [B, Kr, R]
         s = jnp.where(chosen, one, -one)
         new_P = P_dec + s * jnp.sign(a3) * d[:, None, :]
         bits = (s * a3 > 0).astype(jnp.int32)
