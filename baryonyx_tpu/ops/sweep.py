@@ -16,15 +16,16 @@ R-lane vectors (hundreds of bytes per element) instead of 4-byte scalars
 — the difference between an HBM-bound kernel and a latency-bound one.
 
 The reference's column walks (sum of a*pi and a*P over every row touching
-a variable — reference: itm-solver-equalities-101.cpp:161-195) become two
-maintained column-sum arrays ``S_api[n,R]`` and ``S_p[n,R]``, recomputed
-exactly at sweep entry and updated incrementally after each row block
-(the updates are row-local: pi changes only for the processed row, P only
-for its elements), so reduced costs are a single [B,Kr,R] gather.
+a variable — reference: itm-solver-equalities-101.cpp:161-195) become one
+maintained merged column-sum array ``S[n,R]`` (every consumer reads only
+pi+P contributions summed), recomputed exactly at sweep entry and updated
+incrementally after each row block (the updates are row-local: pi changes
+only for the processed row, P only for its elements), so reduced costs
+are a single [B,Kr,R] gather.
 
 Per-row update (reference: itm-common.hpp:382-467 ``affect``):
 1. decay preferences  P[k,:] *= theta
-2. reduced costs      r_s = c[j] - S_api[j] - S_p[j] (own-row decay
+2. reduced costs      r_s = c[j] - S[j] (own-row decay
    corrected), sign-flipped where a_kj < 0
 3. two-key lax.sort (value, random) == sort + shuffle of equal runs
    (reference: calculator_sort, itm-common.hpp:117-148)
@@ -107,22 +108,20 @@ def _onehot_scatter_add(
 
 def column_sums(
     cp: CompiledProblem, P: jax.Array, pi: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
-    """Exact S_api[j] = sum_k a_kj pi_k and S_p[j] = sum_k a_kj P[k,s(k,j)]
-    via one scatter-add over all elements. P: [m,Kr,R], pi: [m,R]."""
+) -> jax.Array:
+    """Exact S[j] = sum_k a_kj (pi_k + P[k,s(k,j)]) via one scatter-add
+    over all elements. The reference tracks the pi and P column walks
+    separately (itm-solver-equalities-101.cpp:161-195) but every consumer
+    reads only their sum, so one merged array halves the gather/scatter
+    traffic in the sweep. P: [m,Kr,R], pi: [m,R]."""
     R = pi.shape[-1]
     a = cp.row_factor[:, :, None]  # [m, Kr, 1]
-    contrib_api = (a * pi[:, None, :]).reshape(-1, R)
-    contrib_p = (a * P).reshape(-1, R)
+    contrib = (a * (pi[:, None, :] + P)).reshape(-1, R)
     idx = jnp.where(cp.row_mask, cp.row_vars, cp.n).reshape(-1)
     zeros = jnp.zeros((cp.n, R), P.dtype)
     if idx.shape[0] * cp.n <= (1 << 24):
-        S_api = _onehot_scatter_add(zeros, idx, contrib_api, cp.n)
-        S_p = _onehot_scatter_add(zeros, idx, contrib_p, cp.n)
-    else:
-        S_api = zeros.at[idx].add(contrib_api, mode="drop")
-        S_p = zeros.at[idx].add(contrib_p, mode="drop")
-    return S_api, S_p
+        return _onehot_scatter_add(zeros, idx, contrib, cp.n)
+    return zeros.at[idx].add(contrib, mode="drop")
 
 
 @functools.partial(
@@ -146,7 +145,7 @@ def sweep(
     block_size: int = 8,
     random_solver: bool = False,
     quad_fac: Optional[jax.Array] = None,  # f[n, Qmax] normalized factors
-    S: Optional[Tuple[jax.Array, jax.Array]] = None,  # carried column sums
+    S: Optional[jax.Array] = None,  # carried merged column sums f[n, R]
     S_fresh: Optional[jax.Array] = None,  # bool: carried sums still exact
 ) -> Tuple:
     """One full pass over the scheduled rows for all replicas.
@@ -159,13 +158,13 @@ def sweep(
     When the caller compacts the scheduled rows (union over replicas) to
     the front of ``order``, ``n_rows`` bounds the block loop dynamically.
 
-    The column sums S = (S_api, S_p) are updated incrementally inside the
-    sweep; callers may carry them across sweeps (P and pi change only in
-    here, so carried sums stay consistent up to float accumulation) and
-    pass ``S_fresh=False`` periodically to force an exact recompute that
+    The merged column sums S are updated incrementally inside the sweep;
+    callers may carry them across sweeps (P and pi change only in here,
+    so carried sums stay consistent up to float accumulation) and pass
+    ``S_fresh=False`` periodically to force an exact recompute that
     bounds the drift.
 
-    Returns (x, P, pi, S_api, S_p, new_violated [m,R], remaining [R])."""
+    Returns (x, P, pi, S, new_violated [m,R], remaining [R])."""
     m, n, Kr = cp.m, cp.n, cp.Kr
     B = block_size
     mp = order.shape[0]
@@ -188,16 +187,16 @@ def sweep(
     mid = jnp.asarray(1.5, dtype)
 
     if S is None:
-        S_api, S_p = column_sums(cp, P, pi)
+        S = column_sums(cp, P, pi)
     else:
-        S_api, S_p = jax.lax.cond(
+        S = jax.lax.cond(
             S_fresh,
             lambda: S,
             lambda: column_sums(cp, P, pi),
         )
 
     def block_body(b, carry):
-        x, P, pi, S_api, S_p = carry
+        x, P, pi, S = carry
         kb = jax.random.fold_in(key, b)
         k_tie, _ = jax.random.split(kb)
 
@@ -218,11 +217,9 @@ def sweep(
         gvars = jnp.where(mask, vars0, 0)
         if use_onehot:
             gidx = jnp.where(mask, vars0, n).reshape(-1)
-            Sa = _onehot_gather(S_api, gidx, n).reshape(B, Kr, R)
-            Sp = _onehot_gather(S_p, gidx, n).reshape(B, Kr, R)
+            Sg = _onehot_gather(S, gidx, n).reshape(B, Kr, R)
         else:
-            Sa = S_api[gvars]  # [B, Kr, R]
-            Sp = S_p[gvars]  # [B, Kr, R]
+            Sg = S[gvars]  # [B, Kr, R]
         # c(j, x): linear plus active quadratic neighbor terms
         # (reference: quadratic_cost_type::operator(),
         # itm-common.hpp:1404-1416)
@@ -238,11 +235,11 @@ def sweep(
             cx = cost[gvars][:, :, None]
 
         # own-row decay correction: the reference decays P[k,:] *= theta
-        # before the column walk; S_p still holds the un-decayed values
-        Sp = Sp + a3 * (theta - 1) * P_rows
+        # before the column walk; S still holds the un-decayed values
+        Sg = Sg + a3 * (theta - 1) * P_rows
         P_dec = theta * P_rows
 
-        r = cx - Sa - Sp
+        r = cx - Sg
         r = jnp.where(a3 < 0, -r, r)
         r = r + amp[None, None, :] * cx
         if random_solver:
@@ -388,14 +385,11 @@ def sweep(
 
         # incremental column sums (row-local updates)
         sidx = jnp.where(mask & row_ok[:, None], vars0, n).reshape(-1)
-        upd_api = (a3 * dpi[:, None, :]).reshape(-1, R)
-        upd_p = (a3 * (new_P - P_rows)).reshape(-1, R)
+        upd = (a3 * (dpi[:, None, :] + new_P - P_rows)).reshape(-1, R)
         if use_onehot:
-            S_api = _onehot_scatter_add(S_api, sidx, upd_api, n)
-            S_p = _onehot_scatter_add(S_p, sidx, upd_p, n)
+            S = _onehot_scatter_add(S, sidx, upd, n)
         else:
-            S_api = S_api.at[sidx].add(upd_api, mode="drop")
-            S_p = S_p.at[sidx].add(upd_p, mode="drop")
+            S = S.at[sidx].add(upd, mode="drop")
 
         # priority scatter: later row in block wins conflicting x writes
         prio = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 0)
@@ -404,18 +398,15 @@ def sweep(
             enc.reshape(-1, R), mode="drop"
         )
         x = jnp.where(tmp >= 0, tmp & 1, x)
-        return x, P, pi, S_api, S_p
+        return x, P, pi, S
 
-    x, P, pi, S_api, S_p = jax.lax.fori_loop(
-        0, n_blocks, block_body, (x, P, pi, S_api, S_p)
-    )
+    x, P, pi, S = jax.lax.fori_loop(0, n_blocks, block_body, (x, P, pi, S))
     new_viol = violated_mask(cp, x)
     return (
         x,
         P,
         pi,
-        S_api,
-        S_p,
+        S,
         new_viol,
         jnp.sum(new_viol.astype(jnp.int32), axis=0),
     )

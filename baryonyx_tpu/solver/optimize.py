@@ -70,8 +70,7 @@ class ReplicaState(NamedTuple):
     x: jax.Array  # int32[n, R]
     P: jax.Array  # f[m, Kr, R]
     pi: jax.Array  # f[m, R]
-    S_api: jax.Array  # f[n, R] — carried column sums (see ops/sweep.py)
-    S_p: jax.Array  # f[n, R]
+    S: jax.Array  # f[n, R] — carried merged column sums (see ops/sweep.py)
     viol: jax.Array  # bool[m, R]
     kappa: jax.Array  # f[R]
     kappa_start: jax.Array  # f[R]
@@ -158,7 +157,7 @@ def evolve(
             kw = dict(
                 random_solver=random_solver,
                 quad_fac=hp.get("quad_fac"),
-                S=(rs.S_api, rs.S_p),
+                S=rs.S,
                 S_fresh=(state.sweeps % 16) != 0,
             )
         out = kernel(
@@ -169,9 +168,9 @@ def evolve(
         )
         if cp.has_z:
             x, P, pi, viol, remaining = out
-            S_api, S_p = rs.S_api, rs.S_p
+            S = rs.S
         else:
-            x, P, pi, S_api, S_p, viol, remaining = out
+            x, P, pi, S, viol, remaining = out
 
         value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
         if "qa" in hp:
@@ -329,7 +328,7 @@ def evolve(
         viol = jnp.where(restart[None, :], violated_mask(cp, x), viol)
 
         new_rs = ReplicaState(
-            x=x, P=P, pi=pi, S_api=S_api, S_p=S_p, viol=viol, kappa=kappa,
+            x=x, P=P, pi=pi, S=S, viol=viol, kappa=kappa,
             kappa_start=new_kappa_start, kappa_append=new_append,
             iter_i=iter_i, phase=phase, push_idx=push_idx,
             best_remaining=best_rem,
@@ -527,8 +526,7 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         x=x0,
         P=jnp.zeros((cp.m, cp.Kr, R), dtype),
         pi=jnp.zeros((cp.m, R), dtype),
-        S_api=jnp.zeros((cp.n, R), dtype),
-        S_p=jnp.zeros((cp.n, R), dtype),
+        S=jnp.zeros((cp.n, R), dtype),
         viol=viol0,
         kappa=jnp.full((R,), params.kappa_min, dtype),
         kappa_start=jnp.full((R,), params.kappa_min, dtype),

@@ -39,8 +39,7 @@ class DeviceState(NamedTuple):
     x: jax.Array  # int32[n, 1]
     P: jax.Array  # f[m, Kr, 1]
     pi: jax.Array  # f[m, 1]
-    S_api: jax.Array  # f[n, 1] — carried column sums (see ops/sweep.py)
-    S_p: jax.Array  # f[n, 1]
+    S: jax.Array  # f[n, 1] — carried merged column sums (see ops/sweep.py)
     viol: jax.Array  # bool[m, 1]
     kappa: jax.Array  # f[1]
     loop: jax.Array  # int32: global iteration counter
@@ -77,8 +76,7 @@ def make_initial_state(
         x=x,
         P=jnp.zeros((m, cp.Kr, 1), dtype),
         pi=jnp.zeros((m, 1), dtype),
-        S_api=jnp.zeros((n, 1), dtype),
-        S_p=jnp.zeros((n, 1), dtype),
+        S=jnp.zeros((n, 1), dtype),
         viol=viol,
         kappa=jnp.full((1,), params.kappa_min, dtype),
         loop=jnp.asarray(0, jnp.int32),
@@ -160,7 +158,7 @@ def _step(
         kw = dict(
             random_solver=random_solver,
             quad_fac=hp.get("quad_fac"),
-            S=(st.S_api, st.S_p),
+            S=st.S,
             S_fresh=(st.loop % 16) != 0,
         )
     out = kernel(
@@ -183,9 +181,9 @@ def _step(
     )
     if cp.has_z:
         x, P, pi, viol, remaining = out
-        S_api, S_p = st.S_api, st.S_p
+        S = st.S
     else:
-        x, P, pi, S_api, S_p, viol, remaining = out
+        x, P, pi, S, viol, remaining = out
 
     # best tracking (reference: store_if_better, :242-261)
     value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
@@ -242,8 +240,7 @@ def _step(
         x=x,
         P=P,
         pi=pi,
-        S_api=S_api,
-        S_p=S_p,
+        S=S,
         viol=viol,
         kappa=kappa,
         loop=st.loop + 1,

@@ -65,10 +65,7 @@ def main() -> None:
 
     import functools
 
-    S0 = (
-        jnp.zeros((cp.n, R), jnp.float32),
-        jnp.zeros((cp.n, R), jnp.float32),
-    )
+    S0 = jnp.zeros((cp.n, R), jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("nsteps",))
     def run(x, P, pi, key, nsteps):
@@ -76,13 +73,13 @@ def main() -> None:
             x, P, pi, S, key = c
             key, k = jax.random.split(key)
             sched = violated_mask(cp, x)
-            x, P, pi, Sa, Sp, viol, rem = sweep(
+            x, P, pi, S, viol, rem = sweep(
                 cp, x, P, pi, cost_norm, sched, order,
                 jnp.full((R,), 0.1, jnp.float32), jnp.float32(0.01),
                 jnp.float32(0.5), k, jnp.zeros((R,), jnp.float32),
                 None, True, B, False, None, S, (i % 16) != 0,
             )
-            return (x, P, pi, (Sa, Sp), key), rem
+            return (x, P, pi, S, key), rem
         c, rems = jax.lax.scan(
             body, (x, P, pi, S0, key), jnp.arange(nsteps)
         )
