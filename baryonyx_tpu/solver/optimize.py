@@ -121,7 +121,19 @@ def evolve(
         dtype = rs.P.dtype
 
         is_push = rs.phase == PHASE_PUSH
-        kappa_eff = jnp.where(is_push, hp["pushing_k_factor"], rs.kappa)
+        # The reference optimize passes the raw pushing_k_factor as the
+        # push kappa (itm-optimizer-common.hpp:706-711) — but its push
+        # runs over the just-emptied violated list, making optimize-mode
+        # pushes no-ops. Ours processes every row (a real incumbent
+        # improver, like solve mode), so the push kappa must stay gentle:
+        # scale kappa_start like the solve-mode push does
+        # (itm-solver-common.hpp:171-179), or the amplified sweep wrecks
+        # the feasible state and each push round burns the full
+        # pushing_iteration_limit failing to repair it (observed: zero
+        # restarts over 3000+ sweeps, starving the evolutionary loop).
+        kappa_eff = jnp.where(
+            is_push, hp["pushing_k_factor"] * rs.kappa_start, rs.kappa
+        )
         amp = jnp.where(
             is_push, hp["pushing_objective_amplifier"], jnp.asarray(0, dtype)
         )
@@ -160,6 +172,20 @@ def evolve(
                 S=rs.S,
                 S_fresh=(state.sweeps % 16) != 0,
             )
+            # fused Pallas path for the hot loop (ops/psweep.py); falls
+            # back to the jnp sweep off-TPU or on unsupported shapes
+            from baryonyx_tpu.ops import psweep as pw
+
+            pmode = pw.enabled_mode()
+            if (
+                pmode
+                and not random_solver
+                and hp.get("quad_fac") is None
+                and pw.supports(cp, R, rs.P.dtype, block_size)
+            ):
+                kernel = functools.partial(
+                    pw.psweep, interpret=(pmode == "interpret")
+                )
         out = kernel(
             cp, rs.x, P=rs.P, pi=rs.pi, cost=cost_norm, sched=sched,
             order=order2, kappa=kappa_eff, delta=hp["delta"],

@@ -51,8 +51,16 @@ def main() -> None:
     )
     n = cp.n  # bucketed size; padded vars cost 0 and join no row
 
+    # replica batch: largest lane batch the fused Pallas kernel supports
+    # on this instance (ops/psweep.py VMEM budget); jnp fallback otherwise
+    from baryonyx_tpu.ops import psweep as _pw
+
+    B = 8
     R = 1024
-    B = 50
+    for cand in (2048, 1024, 512, 256):
+        if _pw.supports(cp, cand, jnp.float32, B):
+            R = cand
+            break
     m = cp.m
     mp = ((m + B - 1) // B) * B
     order = jnp.concatenate(
@@ -67,18 +75,30 @@ def main() -> None:
 
     S0 = jnp.zeros((cp.n, R), jnp.float32)
 
+    pw = _pw
+    pmode = pw.enabled_mode()
+    use_pallas = bool(pmode) and pw.supports(cp, R, jnp.float32, B)
+
     @functools.partial(jax.jit, static_argnames=("nsteps",))
     def run(x, P, pi, key, nsteps):
         def body(c, i):
             x, P, pi, S, key = c
             key, k = jax.random.split(key)
             sched = violated_mask(cp, x)
-            x, P, pi, S, viol, rem = sweep(
-                cp, x, P, pi, cost_norm, sched, order,
-                jnp.full((R,), 0.1, jnp.float32), jnp.float32(0.01),
-                jnp.float32(0.5), k, jnp.zeros((R,), jnp.float32),
-                None, True, B, False, None, S, (i % 16) != 0,
-            )
+            kap = jnp.full((R,), 0.1, jnp.float32)
+            amp = jnp.zeros((R,), jnp.float32)
+            if use_pallas:
+                x, P, pi, S, viol, rem = pw.psweep(
+                    cp, x, P, pi, cost_norm, sched, order, kap,
+                    jnp.float32(0.01), jnp.float32(0.5), k, amp,
+                    S=S, S_fresh=(i % 16) != 0, minimize=True,
+                )
+            else:
+                x, P, pi, S, viol, rem = sweep(
+                    cp, x, P, pi, cost_norm, sched, order, kap,
+                    jnp.float32(0.01), jnp.float32(0.5), k, amp,
+                    None, True, B, False, None, S, (i % 16) != 0,
+                )
             return (x, P, pi, S, key), rem
         c, rems = jax.lax.scan(
             body, (x, P, pi, S0, key), jnp.arange(nsteps)
