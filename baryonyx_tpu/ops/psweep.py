@@ -81,7 +81,9 @@ def supports(cp: CompiledProblem, R: int, dtype, block_size: int) -> bool:
     ops/sweep.py otherwise)."""
     if dtype != jnp.float32:
         return False
-    if R % LANE != 0 or R < LANE:
+    # below G=4 the [G, 128] tiles waste most VPU sublanes and the
+    # boundary relayouts dominate — the jnp sweep is faster there
+    if R % LANE != 0 or R < 4 * LANE:
         return False
     if cp.has_z or cp.has_quad:
         return False

@@ -92,7 +92,7 @@ class OptState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("minimize", "block_size", "n_steps", "random_solver"),
+    static_argnames=("minimize", "block_size", "random_solver"),
 )
 def evolve(
     cp: CompiledProblem,
@@ -105,7 +105,7 @@ def evolve(
     state: OptState,
     minimize: bool,
     block_size: int,
-    n_steps: int,
+    n_steps: jax.Array,
     random_solver: bool = False,
 ) -> OptState:
     """Run ``n_steps`` evolution steps: every replica does one sweep + its
@@ -365,7 +365,21 @@ def evolve(
             None,
         )
 
-    state, _ = jax.lax.scan(one_step, state, None, length=n_steps)
+    # dynamic trip count: the host adapts the chunk length to the
+    # dispatch/fetch latency without recompiling (axon tunnel round trips
+    # cost ~200 ms; the step itself is ~0.2 ms)
+    def cond(c):
+        _, i = c
+        return i < n_steps
+
+    def body(c):
+        st, i = c
+        st, _ = one_step(st, None)
+        return st, i + 1
+
+    state, _ = jax.lax.while_loop(
+        cond, body, (state, jnp.asarray(0, jnp.int32))
+    )
     return state
 
 
@@ -376,7 +390,10 @@ def default_replicas(params: SolverParameters) -> int:
     if params.thread > 0:
         return params.thread
     backend = jax.default_backend()
-    return 256 if backend not in ("cpu",) else 16
+    # 512 lanes = G=4 replica tiles: the fused Pallas sweep needs >= 4
+    # sublanes per tile to feed the VPU (ops/psweep.py), and more replicas
+    # raise restart throughput, the quality driver
+    return 512 if backend not in ("cpu",) else 16
 
 
 def optimize_compiled(ctx: Context, pb: Problem) -> Result:
@@ -582,22 +599,43 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
 
     last_ckpt = time.monotonic()
     # do-while: at least one chunk always runs — the first call also pays
-    # jit compilation, which can alone exceed a small time limit
+    # jit compilation, which can alone exceed a small time limit.
+    # The chunk length adapts so each host round trip (the fetch below —
+    # ~200 ms through the axon tunnel) buys ~0.5 s of device work,
+    # matching the reference's 1 Hz progress cadence
+    # (itm-optimizer-common.hpp:836-857) without throttling the device.
     chunk = max(1, params.chunk_size)
     while True:
+        t_chunk = time.monotonic()
         state = evolve(
             cp, cn, co, cc, bastert, hw, hp, state,
-            minimize=minimize, block_size=params.block_size, n_steps=chunk,
+            minimize=minimize, block_size=params.block_size,
+            n_steps=jnp.asarray(chunk, jnp.int32),
             random_solver=use_random,
         )
+        # one packed fetch synchronizes the chunk and feeds the callback
+        stats = np.asarray(
+            jnp.stack(
+                [
+                    state.pop.remaining[0].astype(jnp.float64),
+                    state.pop.value[0].astype(jnp.float64),
+                    state.sweeps.astype(jnp.float64),
+                    jnp.sum(state.replicas.restarts).astype(jnp.float64),
+                ]
+            )
+        )
+        dt_chunk = time.monotonic() - t_chunk
+        if dt_chunk < 0.35 and chunk < (1 << 14):
+            chunk = min(chunk * 4, 1 << 14)
+        elif dt_chunk > 1.5 and chunk > 1:
+            chunk = max(chunk // 2, 1)
         if ctx.update_cb:
-            pop0 = state.pop
             ctx.update_cb(
-                int(pop0.remaining[0]),
-                float(pop0.value[0]),
-                int(state.sweeps),
+                int(stats[0]),
+                float(stats[1]),
+                int(stats[2]),
                 time.monotonic() - t0,
-                int(jnp.sum(state.replicas.restarts)),
+                int(stats[3]),
             )
         if params.checkpoint_path and (
             time.monotonic() - last_ckpt >= params.checkpoint_every

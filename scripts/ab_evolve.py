@@ -13,7 +13,7 @@ from baryonyx_tpu.solver.optimize import optimize_compiled
 
 mode = os.environ.get("BARYONYX_PALLAS", "auto")
 ctx = make_context(4)
-ctx.parameters.seed = 123
+ctx.parameters.seed = int(sys.argv[3]) if len(sys.argv) > 3 else 123
 ctx.parameters.time_limit = float(sys.argv[1]) if len(sys.argv) > 1 else 25.0
 ctx.parameters.chunk_size = 20
 if len(sys.argv) > 2:
@@ -26,7 +26,8 @@ def upd(rem, val, sweeps, dur, restarts):
 
 
 ctx.update_cb = upd
-pb = preprocess(ctx, parse_lp(open("/tmp/vtest/scp.lp").read()))
+import os as _os
+pb = preprocess(ctx, parse_lp(open(_os.environ.get("AB_LP", "/tmp/vtest/scp.lp")).read()))
 res = optimize_compiled(ctx, pb)
 print(f"[{mode}] FINAL {res.status} value={res.solutions[-1].value if res.solutions else None} "
       f"sweeps={res.loop}")

@@ -4,8 +4,10 @@ the TPU-native analogue of the reference's real-thread-pool tests)."""
 
 import os
 
-# NOTE: this image pins JAX_PLATFORMS=axon (the TPU tunnel); both variables
-# must be overridden to actually land on CPU.
+# NOTE: this image's sitecustomize imports jax at interpreter startup
+# (before conftest runs) and pins the axon TPU platform, so setting
+# JAX_PLATFORMS here is too late — the override must go through
+# jax.config before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -13,3 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual-CPU mesh; a TPU backend initialized "
+    "before conftest could override it"
+)
