@@ -461,6 +461,7 @@ def solve_compiled(
 
     # main annealed loop, in host-dispatched chunks
     timed_out = False
+    first_chunk = True
     while True:
         st = run_chunk(
             cp, cn, co, cc, hp, st,
@@ -468,6 +469,12 @@ def solve_compiled(
             minimize=minimize, block_size=params.block_size,
             random_solver=use_random,
         )
+        if first_chunk:
+            # exclude the first chunk's jit compilation from the time
+            # budget — the reference's time limit is pure solving time
+            jax.block_until_ready(st.loop)
+            t0 = time.monotonic()
+            first_chunk = False
         if params.observer != ObserverType.none:
             observer.make_observation(
                 np.asarray(st.P[..., 0]), np.asarray(st.pi[:, 0]), int(st.loop)
