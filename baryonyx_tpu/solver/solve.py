@@ -446,10 +446,17 @@ def solve_compiled(
             [q.factor for q in pb.objective.qelements], dtype
         )
 
+    # The time-limit budget runs on its own clock so that excluding jit
+    # compilation does not distort ret.duration, which keeps the reference
+    # semantics of spanning the whole solve from entry. A zero-length
+    # warmup chunk pays compilation up front (warm caches pay ~nothing),
+    # so the budget excludes exactly compile time and no solving work.
+    budget_t0 = t0
+
     def time_left() -> bool:
         return (
             params.time_limit <= 0
-            or (time.monotonic() - t0) < params.time_limit
+            or (time.monotonic() - budget_t0) < params.time_limit
         )
 
     from baryonyx_tpu.core.params import ObserverType, SolverType
@@ -459,9 +466,19 @@ def solve_compiled(
 
     observer = make_observer(params.observer)
 
+    # warm the jit cache with a zero-length chunk (a value fetch is the
+    # only reliable synchronization through the axon tunnel)
+    int(
+        run_chunk(
+            cp, cn, co, cc, hp, st, jnp.asarray(0, jnp.int32),
+            minimize=minimize, block_size=params.block_size,
+            random_solver=use_random,
+        ).loop
+    )
+    budget_t0 = time.monotonic()
+
     # main annealed loop, in host-dispatched chunks
     timed_out = False
-    first_chunk = True
     while True:
         st = run_chunk(
             cp, cn, co, cc, hp, st,
@@ -469,12 +486,6 @@ def solve_compiled(
             minimize=minimize, block_size=params.block_size,
             random_solver=use_random,
         )
-        if first_chunk:
-            # exclude the first chunk's jit compilation from the time
-            # budget — the reference's time limit is pure solving time
-            jax.block_until_ready(st.loop)
-            t0 = time.monotonic()
-            first_chunk = False
         if params.observer != ObserverType.none:
             observer.make_observation(
                 np.asarray(st.P[..., 0]), np.asarray(st.pi[:, 0]), int(st.loop)

@@ -10,6 +10,7 @@ parsed by our parser, preprocessed, solved, and validated with the
 """
 
 import glob
+import math
 import os
 
 import pytest
@@ -328,8 +329,10 @@ def test_nqueens_golden_instances():
         r = bx.optimize(_nqueens_ctx(), pb)
         assert r.status == bx.ResultStatus.success, f"instance {i} unsolved"
         assert is_valid_solution(pb, r)
-        gaps.append((compute_solution(pb, r) - golden[i]) / abs(golden[i]))
+        gaps.append((compute_solution(pb, r) - golden[i]) / max(abs(golden[i]), 1.0))
     # the reference asserts all instances feasible and only *prints* the
-    # mean CPLEX distance (optimize.cpp:153-166); mirror that
-    print("n-queens mean gap vs CPLEX:", sum(gaps) / len(gaps))
-    assert all(g > -1e9 for g in gaps)
+    # mean CPLEX distance (optimize.cpp:153-166); additionally bound the
+    # mean gap loosely so a quality regression actually fails the test
+    mean_gap = sum(gaps) / len(gaps)
+    print("n-queens mean gap vs CPLEX:", mean_gap)
+    assert math.isfinite(mean_gap) and mean_gap < 1.0
