@@ -90,11 +90,7 @@ class OptState(NamedTuple):
     sweeps: jax.Array  # int32 — total evolution steps executed
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("minimize", "block_size", "random_solver"),
-)
-def evolve(
+def _evolve_impl(
     cp: CompiledProblem,
     cost_norm: jax.Array,
     cost_orig: jax.Array,
@@ -103,14 +99,23 @@ def evolve(
     hash_weights: jax.Array,  # uint32[n]
     hp: dict,
     state: OptState,
+    n_steps: jax.Array,
     minimize: bool,
     block_size: int,
-    n_steps: jax.Array,
     random_solver: bool = False,
+    axis_name: Optional[str] = None,
 ) -> OptState:
     """Run ``n_steps`` evolution steps: every replica does one sweep + its
     state-machine transition; finished replicas report to the population
-    and restart."""
+    and restart.
+
+    With ``axis_name`` set this body runs inside ``shard_map`` over a
+    device mesh: replica-state arrays are local shards, the population and
+    problem arrays are replicated, and the per-step candidate insert
+    all-gathers the (x, value, remaining) tuples over ICI so every device
+    applies the identical population update — the TPU-native equivalent of
+    the reference's mutex-shared ``storage``
+    (reference: itm-optimizer-common.hpp:97-99,240-300; SURVEY.md §2.9)."""
     m, n = cp.m, cp.n
     B = block_size
     mp = ((m + B - 1) // B) * B
@@ -141,6 +146,13 @@ def evolve(
         state_key, k_ord, k_sweep, k_ins, k_reinit = jax.random.split(
             state.key, 5
         )
+        if axis_name is not None:
+            # decorrelate per-device randomness; k_ins stays shared so
+            # every device computes the identical population update
+            dev = jax.lax.axis_index(axis_name)
+            k_ord = jax.random.fold_in(k_ord, dev)
+            k_sweep = jax.random.fold_in(k_sweep, dev)
+            k_reinit = jax.random.fold_in(k_reinit, dev)
 
         order = common.make_order(cp, state.order_code, rs.x, rs.pi, k_ord, mp)
         process_all = (
@@ -239,8 +251,23 @@ def evolve(
         # try_advance with (x, best_remaining) (reference: :556-585)
         cand_mask = found | anneal_fail
         cand_remaining = jnp.where(found, 0, best_rem).astype(jnp.int32)
+        cand_x, cand_value = x.T, value
+        if axis_name is not None:
+            # one all-gather of the candidate tuples over ICI; afterwards
+            # every device holds the full R candidates and computes the
+            # same (k_ins-keyed) insert on its replicated population
+            cand_x = jax.lax.all_gather(cand_x, axis_name, axis=0, tiled=True)
+            cand_value = jax.lax.all_gather(
+                cand_value, axis_name, axis=0, tiled=True
+            )
+            cand_remaining = jax.lax.all_gather(
+                cand_remaining, axis_name, axis=0, tiled=True
+            )
+            cand_mask = jax.lax.all_gather(
+                cand_mask, axis_name, axis=0, tiled=True
+            )
         pop = batch_insert(
-            state.pop, x.T, value, cand_remaining, cand_mask, k_ins,
+            state.pop, cand_x, cand_value, cand_remaining, cand_mask, k_ins,
             hash_weights, minimize,
         )
 
@@ -343,9 +370,13 @@ def evolve(
         ).astype(jnp.int32)
         best_rem = jnp.where(restart, INT_MAX, best_rem).astype(jnp.int32)
 
-        # cycle advances globally when any replica pushed
+        # cycle advances globally when any replica pushed; under shard_map
+        # the any() must agree across devices (order_code is replicated)
+        any_push = jnp.any(is_push)
+        if axis_name is not None:
+            any_push = jax.lax.pmax(any_push.astype(jnp.int32), axis_name) > 0
         order_code = jnp.where(
-            hp["use_cycle"] & jnp.any(is_push),
+            hp["use_cycle"] & any_push,
             (state.order_code + 1) % common.N_CYCLE_STATES,
             state.order_code,
         ).astype(jnp.int32)
@@ -383,17 +414,106 @@ def evolve(
     return state
 
 
-def default_replicas(params: SolverParameters) -> int:
+@functools.partial(
+    jax.jit,
+    static_argnames=("minimize", "block_size", "random_solver"),
+)
+def evolve(
+    cp: CompiledProblem,
+    cost_norm: jax.Array,
+    cost_orig: jax.Array,
+    cost_constant: jax.Array,
+    bastert_x: jax.Array,
+    hash_weights: jax.Array,
+    hp: dict,
+    state: OptState,
+    minimize: bool,
+    block_size: int,
+    n_steps: jax.Array,
+    random_solver: bool = False,
+) -> OptState:
+    """Single-device evolution step chain (see ``_evolve_impl``)."""
+    return _evolve_impl(
+        cp, cost_norm, cost_orig, cost_constant, bastert_x, hash_weights,
+        hp, state, n_steps, minimize=minimize, block_size=block_size,
+        random_solver=random_solver, axis_name=None,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "minimize", "block_size", "random_solver"),
+)
+def evolve_sharded(
+    cp: CompiledProblem,
+    cost_norm: jax.Array,
+    cost_orig: jax.Array,
+    cost_constant: jax.Array,
+    bastert_x: jax.Array,
+    hash_weights: jax.Array,
+    hp: dict,
+    state: OptState,
+    n_steps: jax.Array,
+    mesh,
+    minimize: bool,
+    block_size: int,
+    random_solver: bool = False,
+) -> OptState:
+    """Multi-device evolution: ``shard_map`` over the mesh's replica axis.
+
+    Each device runs ``_evolve_impl`` on its local replica shard (the
+    Pallas sweep kernel executes per-device on local shapes); the problem
+    arrays and population replicate, and the only collectives are the
+    per-step candidate all-gather and the cycle-policy pmax — riding ICI,
+    mirroring the reference's loose thread coupling (SURVEY.md §2.9)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def spec_last(x):
+        return P(*([None] * (x.ndim - 1) + [axis]))
+
+    def rep(tree):
+        return jax.tree_util.tree_map(lambda _: P(), tree)
+
+    rs_specs = ReplicaState(*[spec_last(a) for a in state.replicas])
+    state_specs = OptState(rs_specs, rep(state.pop), P(), P(), P())
+    fn = jax.shard_map(
+        functools.partial(
+            _evolve_impl,
+            minimize=minimize,
+            block_size=block_size,
+            random_solver=random_solver,
+            axis_name=axis,
+        ),
+        mesh=mesh,
+        in_specs=(
+            rep(cp), P(), P(), P(), P(), P(), rep(hp), state_specs, P(),
+        ),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return fn(
+        cp, cost_norm, cost_orig, cost_constant, bastert_x, hash_weights,
+        hp, state, n_steps,
+    )
+
+
+def default_replicas(params: SolverParameters, n_devices: int = 1) -> int:
     """reference: get_thread_number (itm-optimizer-common.hpp:757-774) —
     thread<=0 means auto; on TPU the replica lane batch replaces the
-    thread pool."""
+    thread pool and scales with the mesh size."""
     if params.thread > 0:
-        return params.thread
-    backend = jax.default_backend()
-    # 512 lanes = G=4 replica tiles: the fused Pallas sweep needs >= 4
-    # sublanes per tile to feed the VPU (ops/psweep.py), and more replicas
-    # raise restart throughput, the quality driver
-    return 512 if backend not in ("cpu",) else 16
+        r = params.thread
+    else:
+        backend = jax.default_backend()
+        # 512 lanes/chip = G=4 replica tiles: the fused Pallas sweep needs
+        # >= 4 sublanes per tile to feed the VPU (ops/psweep.py), and more
+        # replicas raise restart throughput, the quality driver. On CPU
+        # (tests) keep the total small.
+        r = 512 * max(1, n_devices) if backend not in ("cpu",) else 16
+    # the replica axis shards evenly over the mesh
+    return ((r + n_devices - 1) // n_devices) * n_devices
 
 
 def optimize_compiled(ctx: Context, pb: Problem) -> Result:
@@ -438,7 +558,15 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     cost_orig = np.pad(cost_orig_real, (0, pad))
     cost_norm = np.pad(cost_norm_real, (0, pad))
 
-    R = default_replicas(params)
+    # multi-device: shard the replica axis over a 1-D mesh (SURVEY.md
+    # §2.9 — the thread pool's TPU-native equivalent spans chips)
+    devices = jax.devices()
+    mesh = None
+    if len(devices) > 1:
+        from baryonyx_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices)
+    R = default_replicas(params, len(devices))
     P_size = params.init_population_size
 
     def evaluate(x: np.ndarray):
@@ -583,6 +711,10 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     state = OptState(
         rs, pop, key, jnp.asarray(order_code, jnp.int32), jnp.asarray(0, jnp.int32)
     )
+    if mesh is not None:
+        from baryonyx_tpu.parallel.mesh import shard_opt_state
+
+        state = shard_opt_state(state, mesh)
 
     cn = jnp.asarray(cost_norm, dtype)
     co = jnp.asarray(cost_orig, dtype)
@@ -591,6 +723,21 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     from baryonyx_tpu.core.params import SolverType
 
     use_random = params.solver == SolverType.random
+
+    def run_evolve(state: OptState, n_steps: int) -> OptState:
+        if mesh is not None:
+            return evolve_sharded(
+                cp, cn, co, cc, bastert, hw, hp, state,
+                jnp.asarray(n_steps, jnp.int32), mesh=mesh,
+                minimize=minimize, block_size=params.block_size,
+                random_solver=use_random,
+            )
+        return evolve(
+            cp, cn, co, cc, bastert, hw, hp, state,
+            minimize=minimize, block_size=params.block_size,
+            n_steps=jnp.asarray(n_steps, jnp.int32),
+            random_solver=use_random,
+        )
     time_limit = params.time_limit if params.time_limit > 0 else 10.0
     if params.time_limit <= 0:
         ctx.notice(
@@ -604,14 +751,7 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     # time, no compile exists there. The fetch synchronizes through the
     # axon tunnel (block_until_ready does not). ret.duration keeps the
     # full span from function entry (t0); the budget runs on budget_t0.
-    int(
-        evolve(
-            cp, cn, co, cc, bastert, hw, hp, state,
-            minimize=minimize, block_size=params.block_size,
-            n_steps=jnp.asarray(0, jnp.int32),
-            random_solver=use_random,
-        ).sweeps
-    )
+    int(run_evolve(state, 0).sweeps)
     budget_t0 = time.monotonic()
     # do-while: at least one chunk always runs even on tiny time limits.
     # The chunk length adapts so each host round trip (the fetch below —
@@ -621,12 +761,7 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     chunk = max(1, params.chunk_size)
     while True:
         t_chunk = time.monotonic()
-        state = evolve(
-            cp, cn, co, cc, bastert, hw, hp, state,
-            minimize=minimize, block_size=params.block_size,
-            n_steps=jnp.asarray(chunk, jnp.int32),
-            random_solver=use_random,
-        )
+        state = run_evolve(state, chunk)
         # one packed fetch synchronizes the chunk and feeds the callback
         stats = np.asarray(
             jnp.stack(
