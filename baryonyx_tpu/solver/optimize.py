@@ -629,6 +629,23 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         if params.delta < 0
         else params.delta
     )
+    # The reference's optimize-mode push walks the violated list, which is
+    # empty right after feasibility — a no-op costing ~2 sweeps per round
+    # (itm-optimizer-common.hpp:706-751 with itm-common.hpp:682-798), so
+    # its nominal budget (100 rounds x 50 recovery sweeps) is never spent.
+    # Our push actively re-optimizes the incumbent over every row;
+    # inheriting the nominal budget verbatim starves the restart loop that
+    # drives quality (measured on scp 200x1000 / 10 s: best 665-687 with
+    # the nominal budget vs 526-549 with one short push round — the
+    # reference binary reaches 569 on 8 CPU threads). When the caller left
+    # the reference defaults in place, use the tuned active-push budget.
+    _d = SolverParameters()
+    pushes_limit, push_iters = params.pushes_limit, params.pushing_iteration_limit
+    if (
+        pushes_limit == _d.pushes_limit
+        and push_iters == _d.pushing_iteration_limit
+    ):
+        pushes_limit, push_iters = 1, 10
     hp = dict(
         delta=jnp.asarray(delta, dtype),
         theta=jnp.asarray(params.theta, dtype),
@@ -638,8 +655,8 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         alpha=jnp.asarray(params.alpha, dtype),
         w=jnp.asarray(int(params.w), jnp.int32),
         limit=jnp.asarray(min(params.limit, INT_MAX), jnp.int32),
-        pushes_limit=jnp.asarray(params.pushes_limit, jnp.int32),
-        push_iters=jnp.asarray(params.pushing_iteration_limit, jnp.int32),
+        pushes_limit=jnp.asarray(pushes_limit, jnp.int32),
+        push_iters=jnp.asarray(push_iters, jnp.int32),
         pushing_k_factor=jnp.asarray(params.pushing_k_factor, dtype),
         pushing_objective_amplifier=jnp.asarray(
             params.pushing_objective_amplifier, dtype
