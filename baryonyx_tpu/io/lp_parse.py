@@ -521,7 +521,24 @@ class _Parser:
 
 
 def parse_lp(text: str) -> RawProblem:
-    """Parse LP-format text into a RawProblem."""
+    """Parse LP-format text into a RawProblem.
+
+    Large inputs route through the native C++ parser (~25x faster than
+    the Python tokenizer); set BARYONYX_TPU_NO_NATIVE=1 to force the
+    pure-Python path (same grammar — tests cross-check both)."""
+    import os
+
+    if len(text) > 65536 and not os.environ.get("BARYONYX_TPU_NO_NATIVE"):
+        try:
+            from baryonyx_tpu.native.lp import parse_lp_string_native
+
+            pb = parse_lp_string_native(text)
+            if pb is not None:
+                return pb
+        except FileFormatError:
+            raise
+        except Exception:
+            pass  # fall back to the Python parser
     return _Parser(tokenize(text)).parse()
 
 

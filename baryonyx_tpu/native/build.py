@@ -60,6 +60,8 @@ def load_library() -> Optional[ctypes.CDLL]:
 
     lib.lp_parse_file.restype = void_p
     lib.lp_parse_file.argtypes = [c_char_p]
+    lib.lp_parse_buffer.restype = void_p
+    lib.lp_parse_buffer.argtypes = [c_char_p, ctypes.c_size_t]
     lib.lp_error.restype = c_char_p
     lib.lp_error.argtypes = [void_p]
     for name in ("lp_maximize", "lp_n_vars", "lp_n_obj", "lp_n_quad",

@@ -28,6 +28,23 @@ def parse_lp_native(path: str) -> Optional[RawProblem]:
     h = lib.lp_parse_file(path.encode())
     if not h:
         raise FileFormatError(f"cannot open {path!r}")
+    return _handle_to_problem(lib, h)
+
+
+def parse_lp_string_native(text: str) -> Optional[RawProblem]:
+    """Parse LP source held in memory with the native parser; None when
+    the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    data = text.encode()
+    h = lib.lp_parse_buffer(data, len(data))
+    if not h:
+        return None
+    return _handle_to_problem(lib, h)
+
+
+def _handle_to_problem(lib, h) -> RawProblem:
     try:
         err = lib.lp_error(h)
         if err:

@@ -584,21 +584,10 @@ struct LpHandle {
     std::string labels_blob;       // '\n'-joined constraint labels
 };
 
-LpHandle* lp_parse_file(const char* path) {
-    FILE* fh = std::fopen(path, "rb");
-    if (!fh)
-        return nullptr;
-    std::fseek(fh, 0, SEEK_END);
-    long size = std::ftell(fh);
-    std::fseek(fh, 0, SEEK_SET);
-    std::string text(static_cast<size_t>(size), '\0');
-    size_t got = std::fread(text.data(), 1, static_cast<size_t>(size), fh);
-    std::fclose(fh);
-    text.resize(got);
-
+static LpHandle* lp_parse_text(const char* text, size_t len) {
     auto* h = new LpHandle();
     Tokenizer tz;
-    tz.run(text.data(), text.size());
+    tz.run(text, len);
     Parser ps(tz.tokens, h->p);
     if (!ps.parse()) {
         if (h->p.error.empty())
@@ -615,6 +604,25 @@ LpHandle* lp_parse_file(const char* path) {
         h->labels_blob += '\n';
     }
     return h;
+}
+
+LpHandle* lp_parse_file(const char* path) {
+    FILE* fh = std::fopen(path, "rb");
+    if (!fh)
+        return nullptr;
+    std::fseek(fh, 0, SEEK_END);
+    long size = std::ftell(fh);
+    std::fseek(fh, 0, SEEK_SET);
+    std::string text(static_cast<size_t>(size), '\0');
+    size_t got = std::fread(text.data(), 1, static_cast<size_t>(size), fh);
+    std::fclose(fh);
+    text.resize(got);
+    return lp_parse_text(text.data(), text.size());
+}
+
+// in-memory entry point (used by parse_lp on large strings)
+LpHandle* lp_parse_buffer(const char* text, size_t len) {
+    return lp_parse_text(text, len);
 }
 
 const char* lp_error(LpHandle* h) {
