@@ -490,12 +490,17 @@ struct Parser {
         pos += tok(1) == ":" ? 2 : 1;
         while (pos < t.size() && !is_keyword(tok())) {
             auto cur = tok();
-            double d;
-            bool numeric = !cur.empty() &&
-                           (std::isdigit(static_cast<unsigned char>(cur[0])) ||
-                            cur[0] == '.' || cur == "+" || cur == "-" ||
-                            parse_double(cur, &d));
-            if (numeric && !is_full_name(cur)) {
+            // number-vs-name precedence matches the reference tokenizer
+            // (parser.cpp:908-938): a token starting with a digit, '.',
+            // sign, or exponent char is a number — digit-only tokens are
+            // also syntactically valid names, and the reference reads
+            // them as the left bound ("0 <= x <= 1")
+            bool numeric =
+                !cur.empty() &&
+                (std::isdigit(static_cast<unsigned char>(cur[0])) ||
+                 cur[0] == '.' || cur[0] == 'e' || cur[0] == 'E' ||
+                 cur[0] == '+' || cur[0] == '-');
+            if (numeric) {
                 double neg = 1.0;
                 size_t i = 0;
                 if (cur == "+" || cur == "-") {

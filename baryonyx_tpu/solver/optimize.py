@@ -567,6 +567,25 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
 
         mesh = make_mesh(devices)
     R = default_replicas(params, len(devices))
+    block_size = params.block_size
+    if params.thread <= 0 and jax.default_backend() != "cpu":
+        # grow the per-chip replica batch to the largest the fused Pallas
+        # sweep supports: G = R/128 sublane tiles feed the VPU, and G=8
+        # fills native (8, 128) f32 tiles — measured 2.03M replica-sweeps/s
+        # at (R=1024, B=4) vs 1.09M at (R=512, B=8) on scp 200x1000, at
+        # equal per-replica quality. Larger batches need a smaller row
+        # block to stay inside VMEM; honor an explicit user block_size.
+        from baryonyx_tpu.ops import psweep as _pw
+
+        user_B = params.block_size != SolverParameters().block_size
+        for cand_R, cand_B in ((2048, 4), (1024, 4), (1024, 8)):
+            bs = params.block_size if user_B else cand_B
+            if cand_R > R // len(devices) and _pw.supports(
+                cp, cand_R, dtype, bs
+            ):
+                R = cand_R * len(devices)
+                block_size = bs
+                break
     P_size = params.init_population_size
 
     def evaluate(x: np.ndarray):
@@ -746,12 +765,12 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
             return evolve_sharded(
                 cp, cn, co, cc, bastert, hw, hp, state,
                 jnp.asarray(n_steps, jnp.int32), mesh=mesh,
-                minimize=minimize, block_size=params.block_size,
+                minimize=minimize, block_size=block_size,
                 random_solver=use_random,
             )
         return evolve(
             cp, cn, co, cc, bastert, hw, hp, state,
-            minimize=minimize, block_size=params.block_size,
+            minimize=minimize, block_size=block_size,
             n_steps=jnp.asarray(n_steps, jnp.int32),
             random_solver=use_random,
         )

@@ -51,15 +51,16 @@ def main() -> None:
     )
     n = cp.n  # bucketed size; padded vars cost 0 and join no row
 
-    # replica batch: largest lane batch the fused Pallas kernel supports
-    # on this instance (ops/psweep.py VMEM budget); jnp fallback otherwise
+    # replica batch: largest (R, block) pair the fused Pallas kernel
+    # supports on this instance (ops/psweep.py VMEM budget; the same
+    # preference order optimize mode uses); jnp fallback otherwise
     from baryonyx_tpu.ops import psweep as _pw
 
     B = 8
-    R = 1024
-    for cand in (2048, 1024, 512, 256):
-        if _pw.supports(cp, cand, jnp.float32, B):
-            R = cand
+    R = 512
+    for cand_R, cand_B in ((2048, 4), (1024, 4), (1024, 8), (512, 8), (256, 8)):
+        if _pw.supports(cp, cand_R, jnp.float32, cand_B):
+            R, B = cand_R, cand_B
             break
     m = cp.m
     mp = ((m + B - 1) // B) * B
@@ -71,18 +72,22 @@ def main() -> None:
     P = jnp.zeros((m, cp.Kr, R), jnp.float32)
     pi = jnp.zeros((m, R), jnp.float32)
 
-    import functools
-
     S0 = jnp.zeros((cp.n, R), jnp.float32)
 
     pw = _pw
     pmode = pw.enabled_mode()
     use_pallas = bool(pmode) and pw.supports(cp, R, jnp.float32, B)
 
-    @functools.partial(jax.jit, static_argnames=("nsteps",))
+    # dynamic trip count: ONE compiled executable serves both scan lengths
+    # (a static-length scan would compile twice; the G=8 kernel costs
+    # minutes to compile through the tunnel)
+    @jax.jit
     def run(x, P, pi, key, nsteps):
-        def body(c, i):
-            x, P, pi, S, key = c
+        def cond(c):
+            return c[-1] < nsteps
+
+        def body(c):
+            x, P, pi, S, key, rem_acc, i = c
             key, k = jax.random.split(key)
             sched = violated_mask(cp, x)
             kap = jnp.full((R,), 0.1, jnp.float32)
@@ -99,11 +104,15 @@ def main() -> None:
                     jnp.float32(0.01), jnp.float32(0.5), k, amp,
                     None, True, B, False, None, S, (i % 16) != 0,
                 )
-            return (x, P, pi, S, key), rem
-        c, rems = jax.lax.scan(
-            body, (x, P, pi, S0, key), jnp.arange(nsteps)
+            return (x, P, pi, S, key, jnp.sum(rem), i + 1)
+
+        c = jax.lax.while_loop(
+            cond,
+            body,
+            (x, P, pi, S0, key, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32)),
         )
-        return c[0], rems[-1]
+        return c[0], c[-2]
 
     # NOTE: on this image's axon TPU tunnel, block_until_ready does not
     # actually block — only a value fetch synchronizes. Timing therefore
@@ -113,14 +122,16 @@ def main() -> None:
         return float(jnp.sum(o[1]))
 
     N1, N2 = 20, 120
-    fetch(run(x, P, pi, key, nsteps=N1))
-    fetch(run(x, P, pi, key, nsteps=N2))
+    n1 = jnp.asarray(N1, jnp.int32)
+    n2 = jnp.asarray(N2, jnp.int32)
+    fetch(run(x, P, pi, key, n1))
+    fetch(run(x, P, pi, key, n2))
 
     t = time.perf_counter()
-    fetch(run(x, P, pi, key, nsteps=N1))
+    fetch(run(x, P, pi, key, n1))
     t1 = time.perf_counter() - t
     t = time.perf_counter()
-    fetch(run(x, P, pi, key, nsteps=N2))
+    fetch(run(x, P, pi, key, n2))
     t2 = time.perf_counter() - t
 
     per_sweep = max((t2 - t1) / (N2 - N1), 1e-9)

@@ -56,6 +56,11 @@ def same_problem(a, b):
         "maximize\nobj: x1 + 2x2 + 3x3 - 100\nst\n"
         "time: -x1 + x2 + x3 <= 20\nbounds\nx1 <= 40\n-2 <= x2 <= 5\nend\n",
         "minimize\nobj: x + [ 2 x * y + 4 y ^ 2 ] / 2\nst\nc: x + y >= 1\nend\n",
+        # digit-led double bounds + '#' in names (reference fixtures
+        # prevl1/verger_5_5/vm.lp use both; a digit-only token must read
+        # as the left bound, not a variable name)
+        "minimize\nobj: Tr#1#0 + Ts#2#0\nst\nc: Tr#1#0 + Ts#2#0 >= 1\n"
+        "bounds\n0 <= Tr#1#0 <= 1\n0 <= Ts#2#0 <= 1\nend\n",
     ],
 )
 def test_native_matches_python(tmp_path, text):
@@ -72,3 +77,14 @@ def test_native_error(tmp_path):
     path.write_text("frobnicate\nobj: x\nend\n")
     with pytest.raises(bx.FileFormatError):
         parse_lp_native(str(path))
+
+
+def test_string_parse_routes_native(monkeypatch):
+    """parse_lp(text) routes large inputs through lp_parse_buffer and
+    must agree with the pure-Python tokenizer."""
+    text = random_set_cover_lp(300, 1500, 0.03, seed=8)
+    assert len(text) > 65536, "fixture must exceed the native threshold"
+    native = bx.parse_lp(text)
+    monkeypatch.setenv("BARYONYX_TPU_NO_NATIVE", "1")
+    python = bx.parse_lp(text)
+    same_problem(native, python)
