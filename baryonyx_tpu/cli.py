@@ -302,7 +302,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             continue
 
         t0 = time.monotonic()
+        started = time.strftime("%Y-%m-%d %X")
         res = bx.optimize(ctx, pb) if optimize else bx.solve(ctx, pb)
+        finished = time.strftime("%Y-%m-%d %X")
         _print_result_summary(ctx, res, pb)
 
         if multi:
@@ -313,9 +315,23 @@ def main(argv: Optional[List[str]] = None) -> int:
                     f"{time.monotonic() - t0:.3f}\n"
                 )
         else:
+            # reference: main.cpp:1240-1270 — problem-statistics resume
+            # block, start/finish timestamps, then the result resume
+            from baryonyx_tpu.io.sol_io import problem_resume
+
             sol_path = f"{path}-{os.getpid()}.sol"
             with open(sol_path, "w") as fh:
                 fh.write(f"\\ solver..........: baryonyx-tpu {bx.__version__}\n")
+                fh.write(problem_resume(pb))
+                fh.write(f"\\ solver starts: {started}\n")
+                fh.write(f"\\ solver finishes: {finished}\n")
+                if res.status == bx.ResultStatus.success and res.solutions:
+                    fh.write(f"\\ Solution found: {res.solutions[-1].value:f}\n")
+                else:
+                    fh.write(
+                        "\\ Solution not found. Missing constraints: "
+                        f"{res.remaining_constraints}\n"
+                    )
                 bx.write_result(res, fh)
             ctx.notice("- solution written to {}\n", sol_path)
         if res.status != bx.ResultStatus.success:

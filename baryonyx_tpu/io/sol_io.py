@@ -14,6 +14,25 @@ from baryonyx_tpu.core.errors import FileFormatError
 from baryonyx_tpu.core.result import Result, ResultStatus, Solution
 
 
+def problem_resume(pb) -> str:
+    """Problem-statistics comment block written at the top of .sol files
+    (reference: app/src/main.cpp:1046-1079 `resume(raw_problem&, ostream&)`
+    via lib/src/resume.hpp)."""
+    real = sum(1 for v in pb.vars.values if v.type.name == "real")
+    binary = sum(1 for v in pb.vars.values if v.type.name == "binary")
+    general = sum(1 for v in pb.vars.values if v.type.name == "general")
+    mode = "quadratic" if pb.objective.qelements else "linear"
+    obj = "maximize" if pb.type.name == "maximize" else "minimize"
+    return (
+        f"\\ objective : {obj}\n"
+        f"\\ mode: {mode}\n"
+        f"\\ variables: {real}/{general}/{binary} (real/general/binary)\n"
+        f"\\ constraints: {len(pb.equal_constraints)}/"
+        f"{len(pb.greater_constraints)}/{len(pb.less_constraints)}"
+        " (equal/greater/less)\n"
+    )
+
+
 def write_result(res: Result, out: Union[TextIO, None] = None) -> str:
     """Serialize a result the way the reference's fmt::formatter does
     (reference: result.hpp:156-224)."""
