@@ -254,6 +254,28 @@ def test_sat_aim50():
     )
 
 
+@pytest.mark.skipif(SLOW, reason="set BARYONYX_SLOW_TESTS=1 (10k-var instance)")
+def test_capmo1_solve_bound_and_roundtrip():
+    # reference: solve.cpp:195-238 "test_preprocessor_2" — capmo1_direct
+    # must solve feasibly with objective below 1156908, and the serialized
+    # result must re-validate to the identical objective
+    import io
+
+    from baryonyx_tpu.io.sol_io import read_result, write_result
+
+    pb = load("capmo1_direct")
+    r = solve_ok(pb, time_limit=30.0)
+    value = r.solutions[-1].value
+    assert compute_solution(pb, r) == pytest.approx(value, rel=1e-9)
+    assert value < 1156908
+
+    r2 = read_result(io.StringIO(write_result(r)))
+    r2.status = bx.ResultStatus.success
+    r2.affected_vars = r.affected_vars
+    assert is_valid_solution(pb, r2)
+    assert compute_solution(pb, r2) == pytest.approx(value, rel=1e-9)
+
+
 # ---- optimize-mode fixtures (reference: lib/test/optimize.cpp)
 
 
