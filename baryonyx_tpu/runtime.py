@@ -25,7 +25,12 @@ def setup_cache(path: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERY executable: through the remote-compile tunnel even
+        # sub-second compiles cost multi-second round trips, and a solve
+        # dispatches dozens of small jits (population init, hashing,
+        # violated-mask) before the big evolve/sweep ones — filtering them
+        # out made every fresh process pay minutes of latency again
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without the persistent cache knobs

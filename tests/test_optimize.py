@@ -59,6 +59,23 @@ def test_optimize_improves_on_initial_population():
     assert compute_solution(pb, r_opt) < trivial
 
 
+def test_optimize_set_partition_feasible():
+    # pure-equality instance (set partitioning, the reference's spp.csv
+    # suite class). Regression test for the replica-init fix: population
+    # draws alone never reached feasibility here — the zero-start quarter
+    # of the replica axis (reference: optimize threads start from a zero
+    # bit_array, itm-optimizer-common.hpp:627) is what cracks it.
+    from baryonyx_tpu.generators import random_set_partition_lp
+
+    pb = bx.parse_lp(
+        random_set_partition_lp(30, 10, block_size=3, extra_columns=60, seed=5)
+    )
+    r = bx.optimize(make_ctx(limit=1000), pb)
+    assert r.status == bx.ResultStatus.success
+    assert r.remaining_constraints == 0
+    assert is_valid_solution(pb, r)
+
+
 def test_optimize_six_queens():
     pb = bx.parse_lp(n_queens_lp(6))
     r = bx.optimize(make_ctx(), pb)
