@@ -23,9 +23,6 @@ points (reference: core:788-858): ``make_problem``, ``solve``, ``optimize``,
 """
 
 from baryonyx_tpu.runtime import setup_cache as _setup_cache
-
-_setup_cache()
-
 from baryonyx_tpu.core.context import Context, make_context
 from baryonyx_tpu.core.errors import (
     BaryonyxError,
@@ -80,6 +77,7 @@ def solve(ctx: Context, problem: RawProblem) -> Result:
     """
     from baryonyx_tpu.solver.api import solve as _solve
 
+    _setup_cache()  # lazily, once the backend is decided
     return _solve(ctx, problem)
 
 
@@ -92,4 +90,5 @@ def optimize(ctx: Context, problem: RawProblem) -> Result:
     """
     from baryonyx_tpu.solver.api import optimize as _optimize
 
+    _setup_cache()
     return _optimize(ctx, problem)

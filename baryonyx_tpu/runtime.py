@@ -11,14 +11,26 @@ from __future__ import annotations
 import os
 
 
+_done = False
+
+
 def setup_cache(path: str | None = None) -> None:
+    global _done
+    if _done and path is None:
+        return
+    _done = True
     import jax
 
-    # scope by platform: executables cached through the remote-compile
-    # tunnel carry that machine's CPU features and must not be loaded by
-    # local CPU processes (SIGILL risk)
-    platform = os.environ.get("JAX_PLATFORMS", "default") or "default"
-    platform = platform.split(",")[0].strip() or "default"
+    # scope by the RESOLVED backend, not the JAX_PLATFORMS env var:
+    # executables cached through the remote-compile tunnel carry that
+    # machine's CPU features and must not be loaded by local CPU
+    # processes (SIGILL risk) — and the env var lies when jax was
+    # imported before it was set (e.g. an interpreter-level preimport),
+    # which is exactly when the two would get mixed into one directory.
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "default"
     cache_dir = path or os.environ.get(
         "BARYONYX_TPU_CACHE", f"/tmp/baryonyx_tpu_jax_cache_{platform}"
     )
