@@ -99,6 +99,12 @@ class CompiledProblem:
     sel_reduction_ok: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # every factor is exactly +1 (the pure 0/1-coefficient class —
+    # reference: solver_equalities_01coeff / solver_inequalities_01coeff);
+    # kernels drop all sign handling when set
+    all_unit_pos: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 Z_ENUM_MAX = 12  # rows up to this length get exact enumeration
@@ -169,6 +175,7 @@ def compile_problem(
 
     col_fill = np.zeros(n, dtype=np.int64)
     has_z = False
+    all_unit_pos = True
 
     for k, cst in enumerate(constraints):
         npos = nneg = 0
@@ -179,6 +186,8 @@ def compile_problem(
             row_mask[k, s] = True
             if abs(el.factor) > 1:
                 has_z = True
+            if el.factor != 1:
+                all_unit_pos = False
             if el.factor > 0:
                 npos += 1
                 possum += el.factor
@@ -352,4 +361,5 @@ def compile_problem(
         J_bot=bot_need,
         J_top=top_need,
         sel_reduction_ok=sel_reduction_ok,
+        all_unit_pos=all_unit_pos,
     )

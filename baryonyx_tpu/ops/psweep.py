@@ -26,14 +26,16 @@ preference matrix P [m, Kr, G, 128] stays in HBM; each block DMAs its
 rows into a VMEM block buffer and back.
 
 Per block (reference affect(), itm-common.hpp:382-467):
-  phase A, per row: gather S[j], reduced cost r_s, multiplicative
-    tie-noise, running order statistics (count of nonpositives, J_bot
-    smallest, J_top largest, max-nonpositive, min-positive); selection
-    selected+1 = clip(cnt, lo, hi) (inequalities) or the equality
-    constant — the sort-free scheme of ops/sweep.py; store chosen bits,
-    d, dpi
-  phase B, per row: P row update, S[j] += a*(dpi + dP), x[j] masked
-    write, pi[k] += dpi
+  phase A, per row (slot loop bounded by the row's true length): gather
+    S[j], reduced cost r_s, multiplicative tie-noise, running order
+    statistics (count of nonpositives, J_bot smallest, J_top largest,
+    max-nonpositive, min-positive); selection selected+1 = clip(cnt, lo,
+    hi) (inequalities) or the equality constant — the sort-free scheme
+    of ops/sweep.py; store the noised keys, the selection threshold
+    (key of the selected rank), d, dpi
+  phase B, per row: chosen = key <= threshold; P row update,
+    S[j] += a*(dpi + dP), x[j] masked write, pi[k] += dpi. On pure-0/1
+    problems (cp.all_unit_pos) all factor-sign handling drops out.
 
 Tie-breaking: the reference shuffles equal reduced costs
 (itm-common.hpp:117-132) and coin-flips at exactly zero. Here sv gets
@@ -98,8 +100,7 @@ def supports(cp: CompiledProblem, R: int, dtype, block_size: int) -> bool:
         + cp.n * bpr  # x int32
         + cp.m * bpr  # pi f32
         + cp.m * bpr  # sched int32
-        + 2 * block_size * cp.Kr * bpr  # P block buffer + chosen
-        + cp.Kr * bpr  # r_buf
+        + 2 * block_size * cp.Kr * bpr  # P block buffer + noised keys
     )
     # 16 MB physical VMEM per core; leave ~2 MB for Mosaic temporaries
     # (measured: the scp 200x1000 class compiles and runs at 13.3 MB)
@@ -133,6 +134,7 @@ def _pick(regs, idx):
 def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
     m, n, Kr = cp.m, cp.n, cp.Kr
     J_bot, J_top = cp.J_bot, cp.J_top
+    unit = cp.all_unit_pos  # pure 0/1 class: drop all factor-sign handling
     f32 = jnp.float32
 
     def kernel(
@@ -161,8 +163,8 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
         P_out,
         # scratch
         p_blk,  # f32[Bb, Kr, G, 128]
-        r_buf,  # f32[Kr, G, 128]
-        chosen_blk,  # int32[Bb, Kr, G, 128]
+        keys_blk,  # f32[Bb, Kr, G, 128] — noised selection keys
+        thr_blk,  # f32[Bb, G, 128] — selection threshold per row
         d_blk,  # f32[Bb, G, 128]
         dpi_blk,  # f32[Bb, G, 128]
         sem_in,  # DMA[Bb]
@@ -211,43 +213,49 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                         P_hbm.at[k], p_blk.at[b], sem_in.at[b]
                     ).wait()
 
-                    cnt = jnp.zeros((G, LANE), jnp.int32)
-                    bots = [jnp.full((G, LANE), inf, f32) for _ in range(J_bot)]
-                    tops = [
-                        jnp.full((G, LANE), -inf, f32) for _ in range(J_top)
-                    ]
-                    mx_np = jnp.full((G, LANE), -inf, f32)
-                    mn_p = jnp.full((G, LANE), inf, f32)
-                    for s in range(Kr):
-
-                        @pl.when(s < rsz)
-                        def _():
-                            j = rowvars_ref[k, s]
+                    # slot loop runs only the row's real length (rows
+                    # average well under Kr); stats carried through the
+                    # loop, keys written to VMEM for phase B's threshold
+                    # test
+                    def slot_stats(s, carry):
+                        cnt, bots, tops, mx_np, mn_p = carry
+                        j = rowvars_ref[k, s]
+                        cj = cost_ref[j]
+                        Sj = S_out[j]  # [G, 128]
+                        pr = p_blk[b, s]
+                        if unit:
+                            r = cj - (Sj + (theta - 1.0) * pr)
+                        else:
                             af = rowfac_ref[k, s].astype(f32)
-                            cj = cost_ref[j]
-                            Sj = S_out[j]  # [G, 128]
-                            pr = p_blk[b, s]
                             r = cj - (Sj + af * (theta - 1.0) * pr)
                             r = jnp.where(af < 0, -r, r)
-                            r = r + amp * cj
-                            sv = r if minimize else -r
-                            bits = pltpu.prng_random_bits((G, LANE))
-                            u = (bits >> 8).astype(f32) * jnp.float32(2**-24)
-                            sv = sv * (1.0 + (u - 0.5) * 2e-6) + (u - 0.5) * (
-                                delta * 1e-3
-                            )
-                            r_buf[s] = sv
-
-                        @pl.when(s >= rsz)
-                        def _():
-                            r_buf[s] = jnp.full((G, LANE), inf, f32)
-
-                        sv = r_buf[s]
+                        r = r + amp * cj
+                        sv = r if minimize else -r
+                        bits = pltpu.prng_random_bits((G, LANE))
+                        u = (bits >> 8).astype(f32) * jnp.float32(2**-24)
+                        sv = sv * (1.0 + (u - 0.5) * 2e-6) + (u - 0.5) * (
+                            delta * 1e-3
+                        )
+                        keys_blk[b, s] = sv
                         cnt = cnt + (sv <= 0).astype(jnp.int32)
                         bots = _insert_min(bots, sv)
-                        tops = _insert_max(tops, jnp.where(sv == inf, -inf, sv))
+                        tops = _insert_max(tops, sv)
                         mx_np = jnp.maximum(mx_np, jnp.where(sv <= 0, sv, -inf))
                         mn_p = jnp.minimum(mn_p, jnp.where(sv > 0, sv, inf))
+                        return cnt, bots, tops, mx_np, mn_p
+
+                    cnt, bots, tops, mx_np, mn_p = jax.lax.fori_loop(
+                        0,
+                        rsz,
+                        slot_stats,
+                        (
+                            jnp.zeros((G, LANE), jnp.int32),
+                            [jnp.full((G, LANE), inf, f32) for _ in range(J_bot)],
+                            [jnp.full((G, LANE), -inf, f32) for _ in range(J_top)],
+                            jnp.full((G, LANE), -inf, f32),
+                            jnp.full((G, LANE), inf, f32),
+                        ),
+                    )
 
                     # selection (see ops/sweep.py)
                     lo = bmin + csz
@@ -291,9 +299,7 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                     )
                     d_blk[b] = d
                     dpi_blk[b] = jnp.where(valid, dpi, 0.0)
-                    thr = jnp.where(case_none, -inf, sv_sel)
-                    for s in range(Kr):
-                        chosen_blk[b, s] = (r_buf[s] <= thr).astype(jnp.int32)
+                    thr_blk[b] = jnp.where(case_none, -inf, sv_sel)
 
             # ---- phase B: apply row-by-row (later rows win x conflicts)
             for b in range(Bb):
@@ -305,14 +311,21 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                     valid = sched_ref[k] > 0
                     d = d_blk[b]
                     dpi = dpi_blk[b]
-                    for s in range(Kr):
+                    thr = thr_blk[b]
 
-                        @pl.when(s < rsz)
-                        def _():
-                            j = rowvars_ref[k, s]
+                    def slot_apply(s, _):
+                        j = rowvars_ref[k, s]
+                        chosen = keys_blk[b, s] <= thr
+                        sgn = jnp.where(chosen, 1.0, -1.0)
+                        pr = p_blk[b, s]
+                        if unit:
+                            new_p = theta * pr + sgn * d
+                            new_p = jnp.where(valid, new_p, pr)
+                            p_blk[b, s] = new_p
+                            S_out[j] = S_out[j] + (dpi + new_p - pr)
+                            bit = chosen.astype(jnp.int32)
+                        else:
                             af = rowfac_ref[k, s].astype(f32)
-                            sgn = jnp.where(chosen_blk[b, s] > 0, 1.0, -1.0)
-                            pr = p_blk[b, s]
                             new_p = (
                                 theta * pr
                                 + sgn * jnp.where(af < 0, -1.0, 1.0) * d
@@ -321,8 +334,10 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                             p_blk[b, s] = new_p
                             S_out[j] = S_out[j] + af * (dpi + new_p - pr)
                             bit = (sgn * af > 0).astype(jnp.int32)
-                            x_out[j] = jnp.where(valid, bit, x_out[j])
+                        x_out[j] = jnp.where(valid, bit, x_out[j])
+                        return 0
 
+                    jax.lax.fori_loop(0, rsz, slot_apply, 0)
                     pi_out[k] = pi_out[k] + dpi
                     pltpu.make_async_copy(
                         p_blk.at[b], P_out.at[k], sem_out.at[b]
@@ -416,8 +431,8 @@ def _psweep_call(
         ],
         scratch_shapes=[
             pltpu.VMEM((Bb, Kr, G, LANE), f32),  # p_blk
-            pltpu.VMEM((Kr, G, LANE), f32),  # r_buf
-            pltpu.VMEM((Bb, Kr, G, LANE), jnp.int32),  # chosen_blk
+            pltpu.VMEM((Bb, Kr, G, LANE), f32),  # keys_blk
+            pltpu.VMEM((Bb, G, LANE), f32),  # thr_blk
             pltpu.VMEM((Bb, G, LANE), f32),  # d_blk
             pltpu.VMEM((Bb, G, LANE), f32),  # dpi_blk
             pltpu.SemaphoreType.DMA((Bb,)),

@@ -39,7 +39,7 @@ def test_psweep_invariants():
         ),
         jnp.float32,
     )
-    R = 128
+    R = 512  # supports() requires >= 4 full lanes of replicas
     assert pw.supports(cp, R, jnp.float32, 1)
 
     m, n = cp.m, cp.n
