@@ -261,6 +261,7 @@ def make_order(
     pi: jax.Array,
     key: jax.Array,
     m_pad: int,
+    static_policy: "Optional[ConstraintOrder]" = None,
 ) -> jax.Array:
     """Row-processing permutation for one sweep, padded to ``m_pad`` with
     the sentinel ``m``. Violated rows keep the same relative order the
@@ -270,37 +271,68 @@ def make_order(
     The schedule is shared across the replica lane axis; for the
     state-dependent policies (infeasibility/lagrangian sorts) the sort key
     aggregates over replicas — a deviation from the reference, where each
-    thread orders by its own state."""
+    thread orders by its own state.
+
+    ``static_policy``: when the policy is known at trace time and is not
+    ``cycle``, only that policy's inputs are computed — the dynamic
+    ``lax.switch`` would otherwise force the activities matmul and the
+    argsorts into every step (measured: the matmul alone costs as much as
+    a violated-row mask, ~25%% of a sweep)."""
     m = cp.m
     iota = jnp.arange(m, dtype=jnp.int32)
-
-    act = activities(cp, x)  # [m] or [m, R]
-    bmin = cp.bmin.astype(act.dtype)
-    bmax = cp.bmax.astype(act.dtype)
-    if act.ndim == 2:
-        bmin, bmax = bmin[:, None], bmax[:, None]
-    excess = jnp.maximum(bmin - act, act - bmax)
-    if excess.ndim == 2:
-        excess = jnp.mean(excess, axis=1)
-    if pi.ndim == 2:
-        pi = jnp.mean(pi, axis=1)
 
     def by_key(k, descending=False):
         k = jnp.where(descending, -k, k)
         return jnp.argsort(k, stable=True).astype(jnp.int32)
 
-    shuffled = jax.random.permutation(key, m).astype(jnp.int32)
+    def excess_key():
+        act = activities(cp, x)  # [m] or [m, R]
+        bmin = cp.bmin.astype(act.dtype)
+        bmax = cp.bmax.astype(act.dtype)
+        if act.ndim == 2:
+            bmin, bmax = bmin[:, None], bmax[:, None]
+        excess = jnp.maximum(bmin - act, act - bmax)
+        if excess.ndim == 2:
+            excess = jnp.mean(excess, axis=1)
+        return excess
 
-    branches = [
-        lambda: iota,  # none
-        lambda: iota[::-1],  # reversing
-        lambda: shuffled,  # random_sorting
-        lambda: by_key(excess, descending=True),  # infeasibility_decr
-        lambda: by_key(excess),  # infeasibility_incr
-        lambda: by_key(pi, descending=True),  # lagrangian_decr
-        lambda: by_key(pi),  # lagrangian_incr
-        lambda: shuffled,  # pi_sign_change (processes all rows)
-    ]
-    order = jax.lax.switch(order_code, branches)
+    def pi_key():
+        return jnp.mean(pi, axis=1) if pi.ndim == 2 else pi
+
+    if static_policy is not None and static_policy != ConstraintOrder.cycle:
+        branch = {
+            ConstraintOrder.none: lambda: iota,
+            ConstraintOrder.reversing: lambda: iota[::-1],
+            ConstraintOrder.random_sorting: lambda: jax.random.permutation(
+                key, m
+            ).astype(jnp.int32),
+            ConstraintOrder.infeasibility_decr: lambda: by_key(
+                excess_key(), descending=True
+            ),
+            ConstraintOrder.infeasibility_incr: lambda: by_key(excess_key()),
+            ConstraintOrder.lagrangian_decr: lambda: by_key(
+                pi_key(), descending=True
+            ),
+            ConstraintOrder.lagrangian_incr: lambda: by_key(pi_key()),
+            ConstraintOrder.pi_sign_change: lambda: jax.random.permutation(
+                key, m
+            ).astype(jnp.int32),
+        }[static_policy]
+        order = branch()
+    else:
+        excess = excess_key()
+        pim = pi_key()
+        shuffled = jax.random.permutation(key, m).astype(jnp.int32)
+        branches = [
+            lambda: iota,  # none
+            lambda: iota[::-1],  # reversing
+            lambda: shuffled,  # random_sorting
+            lambda: by_key(excess, descending=True),  # infeasibility_decr
+            lambda: by_key(excess),  # infeasibility_incr
+            lambda: by_key(pim, descending=True),  # lagrangian_decr
+            lambda: by_key(pim),  # lagrangian_incr
+            lambda: shuffled,  # pi_sign_change (processes all rows)
+        ]
+        order = jax.lax.switch(order_code, branches)
     pad = jnp.full((m_pad - m,), m, jnp.int32)
     return jnp.concatenate([order, pad])

@@ -104,6 +104,7 @@ def _evolve_impl(
     block_size: int,
     random_solver: bool = False,
     axis_name: Optional[str] = None,
+    order_policy=None,
 ) -> OptState:
     """Run ``n_steps`` evolution steps: every replica does one sweep + its
     state-machine transition; finished replicas report to the population
@@ -154,7 +155,10 @@ def _evolve_impl(
             k_sweep = jax.random.fold_in(k_sweep, dev)
             k_reinit = jax.random.fold_in(k_reinit, dev)
 
-        order = common.make_order(cp, state.order_code, rs.x, rs.pi, k_ord, mp)
+        order = common.make_order(
+            cp, state.order_code, rs.x, rs.pi, k_ord, mp,
+            static_policy=order_policy,
+        )
         process_all = (
             state.order_code
             == common.ORDER_CODES[ConstraintOrder.pi_sign_change]
@@ -416,7 +420,7 @@ def _evolve_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("minimize", "block_size", "random_solver"),
+    static_argnames=("minimize", "block_size", "random_solver", "order_policy"),
 )
 def evolve(
     cp: CompiledProblem,
@@ -431,18 +435,22 @@ def evolve(
     block_size: int,
     n_steps: jax.Array,
     random_solver: bool = False,
+    order_policy=None,
 ) -> OptState:
     """Single-device evolution step chain (see ``_evolve_impl``)."""
     return _evolve_impl(
         cp, cost_norm, cost_orig, cost_constant, bastert_x, hash_weights,
         hp, state, n_steps, minimize=minimize, block_size=block_size,
         random_solver=random_solver, axis_name=None,
+        order_policy=order_policy,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "minimize", "block_size", "random_solver"),
+    static_argnames=(
+        "mesh", "minimize", "block_size", "random_solver", "order_policy"
+    ),
 )
 def evolve_sharded(
     cp: CompiledProblem,
@@ -458,6 +466,7 @@ def evolve_sharded(
     minimize: bool,
     block_size: int,
     random_solver: bool = False,
+    order_policy=None,
 ) -> OptState:
     """Multi-device evolution: ``shard_map`` over the mesh's replica axis.
 
@@ -485,6 +494,7 @@ def evolve_sharded(
             block_size=block_size,
             random_solver=random_solver,
             axis_name=axis,
+            order_policy=order_policy,
         ),
         mesh=mesh,
         in_specs=(
@@ -820,13 +830,13 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
                 cp, cn, co, cc, bastert, hw, hp, state,
                 jnp.asarray(n_steps, jnp.int32), mesh=mesh,
                 minimize=minimize, block_size=block_size,
-                random_solver=use_random,
+                random_solver=use_random, order_policy=params.order,
             )
         return evolve(
             cp, cn, co, cc, bastert, hw, hp, state,
             minimize=minimize, block_size=block_size,
             n_steps=jnp.asarray(n_steps, jnp.int32),
-            random_solver=use_random,
+            random_solver=use_random, order_policy=params.order,
         )
     time_limit = params.time_limit if params.time_limit > 0 else 10.0
     if params.time_limit <= 0:

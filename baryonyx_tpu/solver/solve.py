@@ -103,6 +103,7 @@ def _step(
     push_amp,
     anneal_counter=None,
     random_solver: bool = False,
+    order_policy=None,
 ) -> DeviceState:
     """One outer iteration: schedule, sweep, best-tracking, kappa anneal
     (reference: itm-solver-common.hpp:135-166)."""
@@ -110,7 +111,10 @@ def _step(
     m = cp.m
     key, k_order, k_sweep = jax.random.split(st.key, 3)
     mp = _m_pad(m, block_size)
-    order = common.make_order(cp, st.order_code, st.x, st.pi, k_order, mp)
+    order = common.make_order(
+        cp, st.order_code, st.x, st.pi, k_order, mp,
+        static_policy=order_policy,
+    )
     process_all = st.order_code == common.ORDER_CODES[ConstraintOrder.pi_sign_change]
     if push_amp is not None:
         # The push sweep re-runs rows with objective-amplified reduced
@@ -282,7 +286,8 @@ def make_hyper(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("minimize", "block_size", "random_solver")
+    jax.jit,
+    static_argnames=("minimize", "block_size", "random_solver", "order_policy"),
 )
 def run_chunk(
     cp: CompiledProblem,
@@ -295,6 +300,7 @@ def run_chunk(
     minimize: bool,
     block_size: int,
     random_solver: bool = False,
+    order_policy=None,
 ) -> DeviceState:
     """Up to n_iters annealed sweeps, stopping early on feasibility /
     kappa_max / global limit (reference: itm-solver-common.hpp:135-166).
@@ -309,7 +315,7 @@ def run_chunk(
         st = _step(
             cp, cost_norm, cost_orig, cost_constant, st, hp,
             minimize, block_size, None, anneal_counter=st.loop,
-            random_solver=random_solver,
+            random_solver=random_solver, order_policy=order_policy,
         )
         reason = jnp.where(
             st.remaining[0] == 0,
@@ -327,7 +333,9 @@ def run_chunk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("minimize", "block_size", "push_iters", "random_solver"),
+    static_argnames=(
+        "minimize", "block_size", "push_iters", "random_solver", "order_policy"
+    ),
 )
 def run_push_round(
     cp: CompiledProblem,
@@ -340,13 +348,14 @@ def run_push_round(
     block_size: int,
     push_iters: int,
     random_solver: bool = False,
+    order_policy=None,
 ) -> DeviceState:
     """One objective-amplified sweep + up to ``push_iters`` normal sweeps
     (reference: itm-solver-common.hpp:171-213)."""
     st = _step(
         cp, cost_norm, cost_orig, cost_constant, st, hp,
         minimize, block_size, hp["pushing_objective_amplifier"],
-        random_solver=random_solver,
+        random_solver=random_solver, order_policy=order_policy,
     )
     st = st._replace(stop_reason=jnp.asarray(STOP_RUNNING, jnp.int32))
 
@@ -359,7 +368,7 @@ def run_push_round(
         st = _step(
             cp, cost_norm, cost_orig, cost_constant, st, hp,
             minimize, block_size, None, anneal_counter=it,
-            random_solver=random_solver,
+            random_solver=random_solver, order_policy=order_policy,
         )
         stop = jnp.where(
             st.remaining[0] == 0,
@@ -472,7 +481,7 @@ def solve_compiled(
         run_chunk(
             cp, cn, co, cc, hp, st, jnp.asarray(0, jnp.int32),
             minimize=minimize, block_size=params.block_size,
-            random_solver=use_random,
+            random_solver=use_random, order_policy=params.order,
         ).loop
     )
     budget_t0 = time.monotonic()
@@ -484,7 +493,7 @@ def solve_compiled(
             cp, cn, co, cc, hp, st,
             jnp.asarray(params.chunk_size, jnp.int32),
             minimize=minimize, block_size=params.block_size,
-            random_solver=use_random,
+            random_solver=use_random, order_policy=params.order,
         )
         if params.observer != ObserverType.none:
             observer.make_observation(
@@ -513,7 +522,7 @@ def solve_compiled(
                 cp, cn, co, cc, hp, st,
                 minimize=minimize, block_size=params.block_size,
                 push_iters=params.pushing_iteration_limit,
-                random_solver=use_random,
+                random_solver=use_random, order_policy=params.order,
             )
             if not time_left():
                 timed_out = True

@@ -87,9 +87,11 @@ def main() -> None:
             return c[-1] < nsteps
 
         def body(c):
-            x, P, pi, S, key, rem_acc, i = c
+            # the violated mask is carried from the previous sweep's
+            # return, exactly as the optimize driver carries rs.viol —
+            # no per-step recompute
+            x, P, pi, S, sched, key, rem_acc, i = c
             key, k = jax.random.split(key)
-            sched = violated_mask(cp, x)
             kap = jnp.full((R,), 0.1, jnp.float32)
             amp = jnp.zeros((R,), jnp.float32)
             if use_pallas:
@@ -104,13 +106,13 @@ def main() -> None:
                     jnp.float32(0.01), jnp.float32(0.5), k, amp,
                     None, True, B, False, None, S, (i % 16) != 0,
                 )
-            return (x, P, pi, S, key, jnp.sum(rem), i + 1)
+            return (x, P, pi, S, viol, key, jnp.sum(rem), i + 1)
 
         c = jax.lax.while_loop(
             cond,
             body,
-            (x, P, pi, S0, key, jnp.asarray(0, jnp.int32),
-             jnp.asarray(0, jnp.int32)),
+            (x, P, pi, S0, violated_mask(cp, x), key,
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
         )
         return c[0], c[-2]
 
