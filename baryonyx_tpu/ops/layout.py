@@ -63,6 +63,12 @@ class CompiledProblem:
     assign_bits: Optional[jax.Array]  # int8[m, Amax, Kr]
     assign_valid: Optional[jax.Array]  # bool[m, Amax]
     enum_row: Optional[jax.Array]  # bool[m] — row solved by enumeration
+    # long-ℤ-row exact subsolver data: rows too long to enumerate get an
+    # exact DP over factor sums (the TPU-native stand-in for the
+    # reference's per-row branch-and-bound,
+    # branch-and-bound-solver.hpp:450-533; SURVEY.md §7 step 6)
+    dp_row: Optional[jax.Array]  # bool[m] — row solved by the DP
+    dp_lo: Optional[jax.Array]  # int32[m] — min activity (sum of neg factors)
 
     # quadratic-objective extras (None for linear objectives): per-variable
     # neighbor lists so c(j, x) = c_j + sum_q f_q x[other_q]
@@ -83,6 +89,9 @@ class CompiledProblem:
     Kc: int = dataclasses.field(metadata=dict(static=True))
     has_z: bool = dataclasses.field(metadata=dict(static=True))
     Amax: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # DP table width for long-ℤ rows (max activity span + 1, bucketed);
+    # 0 when no row needs the DP
+    Wdp: int = dataclasses.field(default=0, metadata=dict(static=True))
     m_real: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_real: int = dataclasses.field(default=0, metadata=dict(static=True))
     has_quad: bool = dataclasses.field(default=False, metadata=dict(static=True))
@@ -111,6 +120,9 @@ Z_ENUM_MAX = 12  # rows up to this length get exact enumeration
 # (reference: maximum_factor_exhaustive_solver = 10,
 # itm-solver-inequalities-Z.cpp:40 — raised here since the enumeration is a
 # batched matmul)
+DP_W_MAX = 4096  # max activity span (sum|a| + 1) a long-ℤ row may have:
+# the exact DP over factor sums allocates a table axis of this width
+# (reference B&B has no such bound but is exponential-time there anyway)
 
 
 def _bucket(x: int, mult: int, minimum: int = 0) -> int:
@@ -214,27 +226,40 @@ def compile_problem(
                 raise ValueError(f"constraint {cst.id}: empty bound interval")
 
     assign_bits = assign_valid = enum_row = None
+    dp_row = dp_lo = None
     Amax = 0
+    Wdp = 0
     if has_z:
         # Exact per-row subsolvers for the Z problem classes: enumerate all
         # feasible assignments of rows up to Z_ENUM_MAX variables
         # (reference: exhaustive_solver, exhaustive-solver.hpp:111-167);
         # longer ±1 rows fall back to the greedy prefix walk
         # (reference: select_variables_101,
-        # itm-solver-inequalities-Z.cpp:308-325). Longer Z rows would need
-        # the branch-and-bound path — not implemented yet.
+        # itm-solver-inequalities-Z.cpp:308-325); longer rows with ℤ
+        # coefficients get the exact DP over factor sums — the TPU-native
+        # stand-in for the reference's per-row branch-and-bound
+        # (branch-and-bound-solver.hpp:450-533, SURVEY.md §7 step 6).
         enum_row_np = np.zeros(m, dtype=bool)
+        dp_row_np = np.zeros(m, dtype=bool)
+        dp_lo_np = np.zeros(m, dtype=np.int32)
         per_row: List[np.ndarray] = []
         for k, cst in enumerate(constraints):
             L = len(cst.elements)
             row_has_z = any(abs(el.factor) > 1 for el in cst.elements)
             if L > Z_ENUM_MAX:
                 if row_has_z:
-                    raise NotImplementedError(
-                        f"constraint {cst.id}: Z coefficients with "
-                        f"{L} > {Z_ENUM_MAX} variables (branch-and-bound "
-                        "row solver not implemented yet)"
-                    )
+                    negsum = sum(el.factor for el in cst.elements if el.factor < 0)
+                    possum = sum(el.factor for el in cst.elements if el.factor > 0)
+                    span = int(possum - negsum) + 1
+                    if span > DP_W_MAX:
+                        raise NotImplementedError(
+                            f"constraint {cst.id}: activity span {span} > "
+                            f"{DP_W_MAX} exceeds the exact-DP row solver's "
+                            "table width"
+                        )
+                    dp_row_np[k] = True
+                    dp_lo_np[k] = int(negsum)
+                    Wdp = max(Wdp, span)
                 per_row.append(np.zeros((0, Kr), dtype=np.int8))
                 continue
             factors = np.array([el.factor for el in cst.elements])
@@ -258,6 +283,10 @@ def compile_problem(
         assign_bits = jnp.asarray(ab)
         assign_valid = jnp.asarray(av)
         enum_row = jnp.asarray(enum_row_np)
+        if Wdp:
+            Wdp = _bucket(Wdp, 64)
+            dp_row = jnp.asarray(dp_row_np)
+            dp_lo = jnp.asarray(dp_lo_np)
 
     # dense A for matmul activities — worth it while m*n stays modest
     dense_A = None
@@ -344,6 +373,9 @@ def compile_problem(
         assign_bits=assign_bits,
         assign_valid=assign_valid,
         enum_row=enum_row,
+        dp_row=dp_row,
+        dp_lo=dp_lo,
+        Wdp=Wdp,
         quad_var=quad_var,
         quad_fac=quad_fac,
         quad_mask=quad_mask,

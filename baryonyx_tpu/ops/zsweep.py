@@ -10,7 +10,11 @@ which differs from the 0/1 and ±1 kernels:
 - each row is solved by a per-row subsolver: exact enumeration over the
   row's feasible assignments for short rows (reference: exhaustive_solver)
   or branch-and-bound, with a greedy prefix walk for ±1 rows
-  (reference: select_variables_101, :308-325)
+  (reference: select_variables_101, :308-325). Long ℤ rows use an exact
+  0-1 knapsack DP over factor sums (``_dp_select`` below) in place of the
+  reference's DFS branch-and-bound
+  (branch-and-bound-solver.hpp:450-533) — same optimum, but a dense
+  bounded-shape recurrence the VPU can chew on instead of a branchy walk
 - the update ``local_affect`` (:346-439) uses a constant
   d = kappa/(1-kappa) + delta, always moves pi_k, sets chosen variables
   regardless of factor sign, and runs a "repair" second pass that
@@ -33,6 +37,84 @@ import jax.numpy as jnp
 
 from baryonyx_tpu.ops.layout import CompiledProblem
 from baryonyx_tpu.ops.sweep import violated_mask
+
+
+def _dp_select(
+    cp: CompiledProblem,
+    rows_c: jax.Array,  # int32[B]
+    r: jax.Array,  # f[B, Kr, R] reduced costs
+    mask: jax.Array,  # bool[B, Kr]
+    minimize: bool,
+) -> jax.Array:
+    """Exact per-row 0-1 selection for long ℤ rows: argmin (argmax) of
+    sum_{s chosen} r_s subject to bmin <= sum_s a_s z_s <= bmax, solved by
+    a DP over the bounded activity range — semantically identical to the
+    enumeration path (and to the reference's branch-and-bound,
+    branch-and-bound-solver.hpp:450-533) but polynomial in the activity
+    span instead of exponential in the row length.
+
+    Table f[b, w, r] = best score with activity (w + dp_lo). The chosen
+    set is carried alongside as packed uint32 bitmask words, so no
+    traceback pass or [Kr, W] decision table is needed.
+
+    Returns chosen bool[B, Kr, R]."""
+    B, Kr, R = r.shape
+    W = cp.Wdp
+    dtype = r.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    nw = (Kr + 31) // 32
+
+    a = cp.row_factor[rows_c].astype(jnp.int32)  # [B, Kr]
+    lo = cp.dp_lo[rows_c]  # [B]
+    rq = r if minimize else -r
+    # padded/invalid slots must never be picked: +inf item cost means the
+    # take-branch never wins
+    rq = jnp.where(mask[:, :, None], rq, inf)
+
+    w_iota = jnp.arange(W, dtype=jnp.int32)  # [W]
+    f0 = jnp.where(
+        (w_iota[None, :] == -lo[:, None])[:, :, None],
+        jnp.zeros((), dtype),
+        inf,
+    ) * jnp.ones((B, W, R), dtype)
+    m0 = jnp.zeros((B, W, R, nw), jnp.uint32)
+
+    def slot_body(s, carry):
+        f, msk = carry
+        a_s = a[:, s]  # [B]
+        # f_shifted[w] = f[w - a_s] with +inf outside the table
+        widx = w_iota[None, :] - a_s[:, None]  # [B, W]
+        ok = (widx >= 0) & (widx < W)
+        widx_c = jnp.clip(widx, 0, W - 1)
+        fsh = jnp.take_along_axis(f, widx_c[:, :, None], axis=1)
+        fsh = jnp.where(ok[:, :, None], fsh, inf)
+        cand = fsh + rq[:, s, :][:, None, :]  # [B, W, R]
+        take = cand < f
+        # chosen-set words follow the winning branch, with bit s set on take
+        msh = jnp.take_along_axis(msk, widx_c[:, :, None, None], axis=1)
+        word = s // 32  # traced int32
+        bit = jnp.uint32(1) << (s % 32).astype(jnp.uint32)
+        nw_iota = jnp.arange(nw, dtype=jnp.int32)
+        msh = jnp.where(nw_iota[None, None, None, :] == word, msh | bit, msh)
+        f = jnp.where(take, cand, f)
+        msk = jnp.where(take[..., None], msh, msk)
+        return f, msk
+
+    f, msk = jax.lax.fori_loop(0, Kr, slot_body, (f0, m0))
+
+    # feasible activity window per row
+    wlo = (cp.bmin[rows_c] - lo)[:, None]  # [B, 1]
+    whi = (cp.bmax[rows_c] - lo)[:, None]
+    in_range = (w_iota[None, :] >= wlo) & (w_iota[None, :] <= whi)  # [B, W]
+    f = jnp.where(in_range[:, :, None], f, inf)
+    w_best = jnp.argmin(f, axis=1)  # [B, R]
+    words = jnp.take_along_axis(
+        msk, w_best[:, None, :, None], axis=1
+    )[:, 0]  # [B, R, nw]
+    kr_iota = jnp.arange(Kr, dtype=jnp.int32)
+    wsel = jnp.take(words, kr_iota // 32, axis=2)  # [B, R, Kr]
+    bits = (wsel >> (kr_iota % 32).astype(jnp.uint32)[None, None, :]) & 1
+    return jnp.transpose(bits, (0, 2, 1)) > 0  # [B, Kr, R]
 
 
 def column_sums_abs(cp: CompiledProblem, P: jax.Array, pi: jax.Array) -> jax.Array:
@@ -61,6 +143,7 @@ def z_sweep(
     n_rows: Optional[jax.Array] = None,
     minimize: bool = True,
     block_size: int = 8,
+    quad_fac: Optional[jax.Array] = None,  # f[n, Qmax] normalized factors
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """One pass over the scheduled rows of a Z problem for all replicas.
 
@@ -107,14 +190,27 @@ def z_sweep(
 
         gvars = jnp.where(mask, vars0, 0)
         Sv = S[gvars]  # [B, Kr, R]
-        c_v = cost[gvars]  # [B, Kr]
+        # c(j, x): linear plus active quadratic neighbor terms
+        # (reference: quadratic_cost_type::operator(),
+        # itm-common.hpp:1404-1416 — applies to every solver including Z
+        # via the template fan-out, itm.hpp:32-84)
+        if cp.has_quad and quad_fac is not None:
+            qv = cp.quad_var[gvars]  # [B, Kr, Q]
+            qf = quad_fac[gvars]
+            qm = cp.quad_mask[gvars]
+            qx = x[qv].astype(dtype)  # [B, Kr, Q, R]
+            cx = cost[gvars][:, :, None] + jnp.sum(
+                jnp.where(qm[..., None], qf[..., None] * qx, 0), axis=2
+            )  # [B, Kr, R]
+        else:
+            cx = cost[gvars][:, :, None]  # [B, Kr, 1]
 
         # own-row decay correction (P[k,:] *= theta before reduced costs)
         Sv = Sv + a3 * (theta - 1) * P_rows
         P_dec = theta * P_rows
 
-        r = c_v[:, :, None] - Sv  # [B, Kr, R]
-        r = r + amp[None, None, :] * c_v[:, :, None]
+        r = cx - Sv  # [B, Kr, R]
+        r = r + amp[None, None, :] * cx
         r_masked = jnp.where(mask[:, :, None], r, big)
 
         # ---- enumeration path: scores for every feasible assignment ----
@@ -192,6 +288,11 @@ def z_sweep(
 
         enum_flag = cp.enum_row[rows_c][:, None, None]  # [B,1,1]
         chosen = jnp.where(enum_flag, chosen_enum, chosen_walk)  # [B, Kr, R]
+        if cp.Wdp:
+            # exact DP for long ℤ rows (reference: branch-and-bound path)
+            chosen_dp = _dp_select(cp, rows_c, r, mask, minimize)
+            dp_flag = cp.dp_row[rows_c][:, None, None]
+            chosen = jnp.where(dp_flag, chosen_dp, chosen)
         chosen = chosen & mask[:, :, None]
 
         # ---- pi update (reference local_affect cases, on the reordered R:

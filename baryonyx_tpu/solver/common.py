@@ -240,6 +240,16 @@ def dual_bound(
 # itm-common.hpp:627-915) — device-side, one permutation per sweep
 # ---------------------------------------------------------------------------
 
+# pi_sign_change parity note: the reference's policy is a random shuffle
+# over ALL rows (R is filled with iota at init and never refilled,
+# itm-common.hpp:671-672, then shuffled per run :864-865). The π-sign
+# tracking it computes is discarded: the early return
+# `if (!pi_changed && remaining == 0) return 0` (:869-870) is subsumed by
+# the following `return remaining` — both return 0 exactly when
+# remaining == 0, so pi_changed never affects behavior. Our realization
+# (random permutation + process-all-rows scheduling) is therefore exact,
+# not an approximation.
+
 # numeric codes carried in device state for the `cycle` policy
 ORDER_CODES = {
     ConstraintOrder.none: 0,

@@ -175,11 +175,9 @@ def _evolve_impl(
         if cp.has_z:
             if random_solver:
                 raise NotImplementedError("random solver for Z problems")
-            if cp.has_quad:
-                raise NotImplementedError("quadratic objective on a Z problem")
             from baryonyx_tpu.ops.zsweep import z_sweep as kernel
 
-            kw = {}
+            kw = dict(quad_fac=hp.get("quad_fac"))
         else:
             kernel = sweep
             kw = dict(
@@ -526,6 +524,66 @@ def default_replicas(params: SolverParameters, n_devices: int = 1) -> int:
     return ((r + n_devices - 1) // n_devices) * n_devices
 
 
+def _budget_loop(
+    ctx: Context,
+    params: SolverParameters,
+    state: "OptState",
+    run_evolve,
+    chunk: int,
+    time_limit: float,
+    sweep_budget: float,
+    budget_t0: float,
+    last_ckpt: float,
+) -> "OptState":
+    """The host-side chunk loop: run `chunk` evolve steps at a time until
+    the wall-clock budget or the total sweep budget is exhausted
+    (reference terminator: itm-optimizer-common.hpp:836-859). The chunk
+    length adapts so each host round trip buys ~0.5 s of device work.
+    Ctrl-C returns the best population found so far instead of dying."""
+    try:
+        while True:
+            t_chunk = time.monotonic()
+            state = run_evolve(state, chunk)
+            # one packed fetch synchronizes the chunk and feeds the callback
+            stats = np.asarray(
+                jnp.stack(
+                    [
+                        state.pop.remaining[0].astype(jnp.float64),
+                        state.pop.value[0].astype(jnp.float64),
+                        state.sweeps.astype(jnp.float64),
+                        jnp.sum(state.replicas.restarts).astype(jnp.float64),
+                    ]
+                )
+            )
+            dt_chunk = time.monotonic() - t_chunk
+            if dt_chunk < 0.35 and chunk < (1 << 14):
+                chunk = min(chunk * 4, 1 << 14)
+            elif dt_chunk > 1.5 and chunk > 1:
+                chunk = max(chunk // 2, 1)
+            if ctx.update_cb:
+                ctx.update_cb(
+                    int(stats[0]),
+                    float(stats[1]),
+                    int(stats[2]),
+                    time.monotonic() - budget_t0,
+                    int(stats[3]),
+                )
+            if params.checkpoint_path and (
+                time.monotonic() - last_ckpt >= params.checkpoint_every
+            ):
+                from baryonyx_tpu.checkpoint import save_population
+
+                save_population(params.checkpoint_path, state.pop)
+                last_ckpt = time.monotonic()
+            if (time.monotonic() - budget_t0) >= time_limit:
+                break
+            if float(stats[2]) >= sweep_budget:
+                break
+    except KeyboardInterrupt:
+        ctx.notice("optimize: interrupted; returning best population\n")
+    return state
+
+
 def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     """reference: optimize_problem (itm-optimizer-common.hpp:776-908)."""
     t0 = time.monotonic()
@@ -838,10 +896,20 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
             n_steps=jnp.asarray(n_steps, jnp.int32),
             random_solver=use_random, order_policy=params.order,
         )
-    time_limit = params.time_limit if params.time_limit > 0 else 10.0
+    # Stopping: with a time limit, run until it expires (reference:
+    # itm-optimizer-common.hpp:836-859 — the main thread's only
+    # terminator). Without one the reference runs until interrupted; here
+    # the total sweep budget falls back to `limit` (the loop bound every
+    # restart already honors) so an un-limited call still terminates, and
+    # Ctrl-C returns the best population found so far instead of dying.
+    time_limit = params.time_limit if params.time_limit > 0 else float("inf")
+    sweep_budget = float("inf")
     if params.time_limit <= 0:
+        sweep_budget = min(params.limit, INT_MAX)
         ctx.notice(
-            "optimize: no time limit given; defaulting to {}s\n", time_limit
+            "optimize: no time limit; running {} sweeps (the loop limit) — "
+            "interrupt to stop early\n",
+            sweep_budget,
         )
 
     last_ckpt = time.monotonic()
@@ -859,49 +927,20 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
     # matching the reference's 1 Hz progress cadence
     # (itm-optimizer-common.hpp:836-857) without throttling the device.
     chunk = max(1, params.chunk_size)
-    while True:
-        t_chunk = time.monotonic()
-        state = run_evolve(state, chunk)
-        # one packed fetch synchronizes the chunk and feeds the callback
-        stats = np.asarray(
-            jnp.stack(
-                [
-                    state.pop.remaining[0].astype(jnp.float64),
-                    state.pop.value[0].astype(jnp.float64),
-                    state.sweeps.astype(jnp.float64),
-                    jnp.sum(state.replicas.restarts).astype(jnp.float64),
-                ]
-            )
-        )
-        dt_chunk = time.monotonic() - t_chunk
-        if dt_chunk < 0.35 and chunk < (1 << 14):
-            chunk = min(chunk * 4, 1 << 14)
-        elif dt_chunk > 1.5 and chunk > 1:
-            chunk = max(chunk // 2, 1)
-        if ctx.update_cb:
-            ctx.update_cb(
-                int(stats[0]),
-                float(stats[1]),
-                int(stats[2]),
-                time.monotonic() - budget_t0,
-                int(stats[3]),
-            )
-        if params.checkpoint_path and (
-            time.monotonic() - last_ckpt >= params.checkpoint_every
-        ):
-            from baryonyx_tpu.checkpoint import save_population
-
-            save_population(params.checkpoint_path, state.pop)
-            last_ckpt = time.monotonic()
-        if (time.monotonic() - budget_t0) >= time_limit:
-            break
+    state = _budget_loop(
+        ctx, params, state, run_evolve, chunk, time_limit, sweep_budget,
+        budget_t0, last_ckpt,
+    )
 
     # extraction (reference: :869-900); best LAST to match Result.best
     pop = state.pop
     rem0 = int(pop.remaining[0])
-    ret.status = (
-        ResultStatus.success if rem0 == 0 else ResultStatus.time_limit_reached
-    )
+    if rem0 == 0:
+        ret.status = ResultStatus.success
+    elif params.time_limit > 0:
+        ret.status = ResultStatus.time_limit_reached
+    else:
+        ret.status = ResultStatus.limit_reached
     ret.remaining_constraints = rem0
     ret.loop = int(state.sweeps)
 

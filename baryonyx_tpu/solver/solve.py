@@ -150,11 +150,9 @@ def _step(
             # the reference's dispatch has no random solver for Z problems
             # (itm.hpp:181-200 raises internal_error)
             raise NotImplementedError("random solver for Z problems")
-        if cp.has_quad:
-            raise NotImplementedError("quadratic objective on a Z problem")
         from baryonyx_tpu.ops.zsweep import z_sweep as kernel
 
-        kw = {}
+        kw = dict(quad_fac=hp.get("quad_fac"))
     else:
         kernel = sweep
         # carried column sums: recompute exactly every 16 sweeps to bound
