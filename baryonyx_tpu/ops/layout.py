@@ -127,16 +127,15 @@ DP_W_MAX = 4096  # max activity span (sum|a| + 1) a long-ℤ row may have:
 
 def _bucket(x: int, mult: int, minimum: int = 0) -> int:
     """Round up to a bucket boundary so different instances share compiled
-    executables: multiples of `mult` below 4*mult, then powers-of-two-ish
-    steps."""
+    executables: multiples of `mult` below 4*mult, then 1/8-of-magnitude
+    granularity (<= 12.5% padding waste — the padding is live VMEM in the
+    fused sweep kernel, so coarser ladders directly shrink the instance
+    sizes ops/psweep.py can hold on-chip)."""
     x = max(x, minimum, 1)
     if x <= 4 * mult:
         return _round_up(x, mult)
-    b = 4 * mult
-    while b < x:
-        b += b // 2
-        b = _round_up(b, mult)
-    return b
+    gran = max(mult, 2 ** (x.bit_length() - 4))
+    return _round_up(x, gran)
 
 
 def compile_problem(

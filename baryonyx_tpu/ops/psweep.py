@@ -2,9 +2,9 @@
 
 The jnp sweep (ops/sweep.py) is bounded by HBM traffic: every block makes
 ~15 passes over [B, Kr, R] temporaries plus one-hot matmuls against the
-[n, R] column sums. This kernel keeps the whole solver state resident in
-VMEM for the duration of a sweep, so per-row work is a handful of
-VMEM-local tile ops.
+[n, R] column sums. This kernel keeps the solver state for one replica
+group resident in VMEM for the duration of a sweep, so per-row work is a
+handful of VMEM-local tile ops.
 
 Semantics match the jnp sweep exactly: rows are processed in blocks of
 ``block_size`` — decisions for all rows of a block are computed against
@@ -18,12 +18,27 @@ decorrelate row decisions the way the reference relies on randomized
 constraint ordering to do.
 
 Layout: the replica axis R is folded to [G, 128] (G = R // 128) so a
-"row" of any per-variable array is exactly one native (8, 128) f32 tile
-per G/8 — every dynamic gather/scatter moves full VPU tiles instead of
-strided lane-vectors. State in VMEM: merged column sums S [n, G, 128]
-(f32), assignment x [n, G, 128] (int8), multipliers pi [m, G, 128]. The
-preference matrix P [m, Kr, G, 128] stays in HBM; each block DMAs its
-rows into a VMEM block buffer and back.
+"row" of any per-variable array is whole (sublane, 128-lane) f32 tiles —
+every dynamic gather/scatter moves full VPU tiles instead of strided
+lane-vectors. The kernel runs on a grid over replica *groups* of
+``Gc <= G`` lane-rows each: replicas are fully independent, so each grid
+step solves its own [*, Gc, 128] slice with zero cross-step traffic.
+Per step, the group's slices of the merged column sums S [n, Gc, 128]
+(f32), assignment x (int32), multipliers pi [m, Gc, 128] and schedule
+mask are DMA'd HBM -> VMEM once, all row updates run in VMEM, and the
+slices stream back out. The preference matrix P [m, Kr, G, 128] never
+fits VMEM and stays in HBM; each row block DMAs its rows' group slices
+into a VMEM block buffer and back. Choosing Gc is a VMEM-budget problem
+solved by ``plan()``: big instances (n ~ 10^4, Kr ~ 300: the benchmark-
+suite class) run at Gc = 1-2, small ones at Gc = 8-16 (full native
+tiles).
+
+Row tables come in two flavors (``plan().big``): small instances
+prefetch row_vars/row_factor/cost into SMEM (scalar-prefetch); large
+ones keep them in HBM — chunked to [m, C, 128] rows, the only row shape
+the DMA path accepts — and DMA each block's rows into scratch alongside
+the P rows (costs are pre-gathered per (row, slot) so no [n]-indexed
+table is ever needed).
 
 Per block (reference affect(), itm-common.hpp:382-467):
   phase A, per row (slot loop bounded by the row's true length): gather
@@ -41,13 +56,16 @@ Tie-breaking: the reference shuffles equal reduced costs
 (itm-common.hpp:117-132) and coin-flips at exactly zero. Here sv gets
 multiplicative noise sv*(1 + u*2e-6) plus an absolute delta-scaled dither
 — relative noise breaks equal-value ties at any magnitude, the absolute
-term breaks ties at zero.
+term breaks ties at zero. Compiled kernels draw u from the hardware PRNG;
+interpret mode (CPU CI) uses a splitmix-style counter hash of
+(seed, group, row, slot, replica) since the interpreter lacks
+pltpu.prng_* (same distribution, different stream).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,8 +76,13 @@ from baryonyx_tpu.ops.layout import CompiledProblem
 from baryonyx_tpu.ops.sweep import column_sums, violated_mask
 
 LANE = 128
-MAX_KR = 64  # unrolled slot loops; larger rows fall back to the jnp sweep
 MAX_B = 16  # block buffer rows held in VMEM
+MAX_KR = 1024  # beyond this even Gc=1 block buffers blow VMEM
+# 16 MB physical VMEM per core; leave headroom for Mosaic temporaries
+VMEM_BUDGET = 13 * 1024 * 1024
+# SMEM is small; measured headroom for the scalar-prefetch tables at the
+# scp 200x1000 class (~135 KB) — anything bigger streams tables from HBM
+SMEM_BUDGET = 160 * 1024
 
 
 def enabled_mode() -> Optional[str]:
@@ -78,33 +101,76 @@ def enabled_mode() -> Optional[str]:
     return "compiled" if jax.default_backend() != "cpu" else None
 
 
-def supports(cp: CompiledProblem, R: int, dtype, block_size: int) -> bool:
-    """Static eligibility for the Pallas path (callers fall back to
-    ops/sweep.py otherwise)."""
+class PsweepPlan(NamedTuple):
+    Gc: int  # replica lane-rows per grid step
+    Bb: int  # row-block size actually used (<= requested block_size)
+    big: bool  # row tables streamed from HBM instead of SMEM prefetch
+
+
+def _table_chunks(Kr: int) -> int:
+    """Row tables DMA as [C, 128] chunks (the DMA path rejects other row
+    shapes)."""
+    return (Kr + LANE - 1) // LANE
+
+
+def _vmem_bytes(cp: CompiledProblem, Gc: int, Bb: int, big: bool) -> int:
+    tile = Gc * LANE * 4
+    v = (
+        cp.n * tile  # S_v f32
+        + cp.n * tile  # x_v int32
+        + cp.m * tile  # pi_v f32
+        + cp.m * tile  # sched_v int32
+        + 2 * Bb * cp.Kr * tile  # p_blk + keys_blk
+        + 5 * Bb * tile  # thr/d/dpi block scratch (+ slack)
+        + 2 * tile  # kappa/amp
+    )
+    if big:
+        # streamed table scratch: int chunks (vars [+ factors]) + f32 costs
+        ti = 1 if cp.all_unit_pos else 2
+        v += Bb * (ti + 1) * _table_chunks(cp.Kr) * LANE * 4
+    return v
+
+
+def plan(
+    cp: CompiledProblem, R: int, dtype, block_size: int
+) -> Optional[PsweepPlan]:
+    """Pick (Gc, Bb, big) for this instance, or None when the Pallas path
+    cannot run it (callers fall back to ops/sweep.py)."""
     if dtype != jnp.float32:
-        return False
+        return None
     # below G=4 the [G, 128] tiles waste most VPU sublanes and the
     # boundary relayouts dominate — the jnp sweep is faster there
     if R % LANE != 0 or R < 4 * LANE:
-        return False
+        return None
     if cp.has_z or cp.has_quad:
-        return False
-    if cp.Kr > MAX_KR or block_size > MAX_B:
-        return False
+        return None
     if not cp.sel_reduction_ok:
-        return False
+        return None
+    if cp.Kr > MAX_KR:
+        return None
     G = R // LANE
-    bpr = G * LANE * 4  # bytes per int32/f32 row-tile
-    vmem = (
-        cp.n * bpr  # S f32
-        + cp.n * bpr  # x int32
-        + cp.m * bpr  # pi f32
-        + cp.m * bpr  # sched int32
-        + 2 * block_size * cp.Kr * bpr  # P block buffer + noised keys
-    )
-    # 16 MB physical VMEM per core; leave ~2 MB for Mosaic temporaries
-    # (measured: the scp 200x1000 class compiles and runs at 13.3 MB)
-    return vmem <= 14 * 1024 * 1024
+    m, n = cp.m, cp.n
+    mp = ((m + block_size - 1) // block_size) * block_size + block_size
+    smem_base = 4 * mp + 5 * 4 * m + 64  # order + rowmeta + seed/scal/nrows
+    if smem_base > SMEM_BUDGET:
+        return None
+    small_tables = 2 * m * cp.Kr * 4 + n * 4
+    big = smem_base + small_tables > SMEM_BUDGET
+    bb_req = min(block_size, MAX_B)
+    for Gc in (16, 8, 4, 2, 1):
+        if Gc > G or G % Gc:
+            continue
+        for Bb in (bb_req, 8, 4, 2):
+            if Bb > bb_req:
+                continue
+            if _vmem_bytes(cp, Gc, Bb, big) <= VMEM_BUDGET:
+                return PsweepPlan(Gc=Gc, Bb=Bb, big=big)
+    return None
+
+
+def supports(cp: CompiledProblem, R: int, dtype, block_size: int) -> bool:
+    """Static eligibility for the Pallas path."""
+    return plan(cp, R, dtype, block_size) is not None
 
 
 def _insert_min(regs, v):
@@ -131,56 +197,125 @@ def _pick(regs, idx):
     return acc
 
 
-def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
+def _make_kernel(
+    cp: CompiledProblem,
+    Gc: int,
+    minimize: bool,
+    Bb: int,
+    big: bool,
+    hash_noise: bool,
+):
     m, n, Kr = cp.m, cp.n, cp.Kr
     J_bot, J_top = cp.J_bot, cp.J_top
     unit = cp.all_unit_pos  # pure 0/1 class: drop all factor-sign handling
     f32 = jnp.float32
+    u32 = jnp.uint32
 
-    def kernel(
+    def kernel(*refs):
+        it = iter(refs)
         # scalar-prefetch (SMEM)
-        seed_ref,  # int32[2]
-        order_ref,  # int32[mp]
-        nrows_ref,  # int32[1]
-        rowvars_ref,  # int32[m, Kr]
-        rowfac_ref,  # int32[m, Kr] (0 = padded slot)
-        rowmeta_ref,  # int32[m, 5]: bmin, bmax, c_size, r_size, is_eq
-        cost_ref,  # f32[n]
-        scal_ref,  # f32[2]: delta, theta
-        # VMEM operands
-        S_ref,  # f32[n, G, 128]   (aliased out 0)
-        x_ref,  # int32[n, G, 128] (aliased out 1)
-        pi_ref,  # f32[m, G, 128]  (aliased out 2)
-        kappa_ref,  # f32[G, 128]
-        amp_ref,  # f32[G, 128]
-        sched_ref,  # int32[m, G, 128]
-        # HBM operand
-        P_hbm,  # f32[m, Kr, G, 128] (aliased out 3)
+        seed_ref = next(it)  # int32[2]
+        order_ref = next(it)  # int32[mp]
+        nrows_ref = next(it)  # int32[1]
+        rowmeta_ref = next(it)  # int32[m, 5]: bmin, bmax, c_size, r_size, is_eq
+        scal_ref = next(it)  # f32[2]: delta, theta
+        if not big:
+            rowvars_ref = next(it)  # int32[m, Kr]
+            rowfac_ref = next(it)  # int32[m, Kr] (0 = padded slot)
+            cost_ref = next(it)  # f32[n]
+        # HBM operands
+        S_hbm = next(it)  # f32[n, G, 128]   (aliased out 0)
+        x_hbm = next(it)  # int32[n, G, 128] (aliased out 1)
+        pi_hbm = next(it)  # f32[m, G, 128]  (aliased out 2)
+        kappa_hbm = next(it)  # f32[G, 128]
+        amp_hbm = next(it)  # f32[G, 128]
+        sched_hbm = next(it)  # int32[m, G, 128]
+        P_hbm = next(it)  # f32[m, Kr, G, 128] (aliased out 3)
+        if big:
+            # chunked tables: [m, ti*C, 128] int32 (vars, then factors
+            # unless unit) and [m, C, 128] f32 (pre-gathered slot costs)
+            ti_hbm = next(it)
+            tf_hbm = next(it)
         # outputs (aliases of S, x, pi, P)
-        S_out,
-        x_out,
-        pi_out,
-        P_out,
-        # scratch
-        p_blk,  # f32[Bb, Kr, G, 128]
-        keys_blk,  # f32[Bb, Kr, G, 128] — noised selection keys
-        thr_blk,  # f32[Bb, G, 128] — selection threshold per row
-        d_blk,  # f32[Bb, G, 128]
-        dpi_blk,  # f32[Bb, G, 128]
-        sem_in,  # DMA[Bb]
-        sem_out,  # DMA[Bb]
-    ):
-        pltpu.prng_seed(seed_ref[0], seed_ref[1])
-        # Work on the (input-aliased) output refs: Pallas input refs are
-        # read-only; with aliasing these copies compile to no-ops.
-        S_out[:] = S_ref[:]
-        x_out[:] = x_ref[:]
-        pi_out[:] = pi_ref[:]
+        S_out = next(it)
+        x_out = next(it)
+        pi_out = next(it)
+        P_out = next(it)
+        # VMEM scratch
+        S_v = next(it)  # f32[n, Gc, 128]
+        x_v = next(it)  # int32[n, Gc, 128]
+        pi_v = next(it)  # f32[m, Gc, 128]
+        sched_v = next(it)  # int32[m, Gc, 128]
+        kap_v = next(it)  # f32[Gc, 128]
+        amp_v = next(it)  # f32[Gc, 128]
+        p_blk = next(it)  # f32[Bb, Kr, Gc, 128]
+        keys_blk = next(it)  # f32[Bb, Kr, Gc, 128] — noised selection keys
+        thr_blk = next(it)  # f32[Bb, Gc, 128] — selection threshold per row
+        d_blk = next(it)  # f32[Bb, Gc, 128]
+        dpi_blk = next(it)  # f32[Bb, Gc, 128]
+        sem_st = next(it)  # DMA[8] — state in/out
+        sem_in = next(it)  # DMA[Bb]
+        sem_out = next(it)  # DMA[Bb]
+        if big:
+            ti_blk = next(it)  # int32[Bb, ti*C, 128]
+            tf_blk = next(it)  # f32[Bb, C, 128]
+            sem_tab = next(it)  # DMA[Bb, 2]
+            C = _table_chunks(Kr)
+
+        g = pl.program_id(0)
+        gofs = g * Gc
+        gsl = pl.ds(gofs, Gc)
+
+        if not hash_noise:
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] + g)
+        else:
+            # per-replica counter tile for the splitmix hash
+            rep_iota = (
+                jax.lax.broadcasted_iota(u32, (Gc, LANE), 0) * LANE
+                + jax.lax.broadcasted_iota(u32, (Gc, LANE), 1)
+                + jnp.uint32(gofs * LANE)
+            )
+            seed_u = seed_ref[0].astype(u32) * jnp.uint32(0x9E3779B9) + seed_ref[
+                1
+            ].astype(u32)
+
+        def draw_u(k, s):
+            """Uniform (Gc, 128) tile in [0, 1)."""
+            if not hash_noise:
+                bits = pltpu.prng_random_bits((Gc, LANE))
+                return (bits >> 8).astype(f32) * jnp.float32(2**-24)
+            h = (
+                rep_iota * jnp.uint32(0x85EBCA6B)
+                + seed_u
+                + k.astype(u32) * jnp.uint32(0xC2B2AE35)
+                + s.astype(u32) * jnp.uint32(0x27D4EB2F)
+            )
+            h = h ^ (h >> 15)
+            h = h * jnp.uint32(0x2C1B3C6D)
+            h = h ^ (h >> 12)
+            h = h * jnp.uint32(0x297A2D39)
+            h = h ^ (h >> 15)
+            return (h >> 8).astype(f32) * jnp.float32(2**-24)
+
+        # ---- stream this group's state slices into VMEM
+        cps = [
+            pltpu.make_async_copy(S_hbm.at[:, gsl], S_v, sem_st.at[0]),
+            pltpu.make_async_copy(x_hbm.at[:, gsl], x_v, sem_st.at[1]),
+            pltpu.make_async_copy(pi_hbm.at[:, gsl], pi_v, sem_st.at[2]),
+            pltpu.make_async_copy(sched_hbm.at[:, gsl], sched_v, sem_st.at[3]),
+            pltpu.make_async_copy(kappa_hbm.at[gsl], kap_v, sem_st.at[4]),
+            pltpu.make_async_copy(amp_hbm.at[gsl], amp_v, sem_st.at[5]),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
         delta = scal_ref[0]
         theta = scal_ref[1]
-        kap = kappa_ref[:]
-        kp = kap / (1.0 - kap)  # [G, 128]
-        amp = amp_ref[:]
+        kap = kap_v[:]
+        kp = kap / (1.0 - kap)  # [Gc, 128]
+        amp = amp_v[:]
         inf = jnp.float32(jnp.inf)
 
         def block_body(blk, _):
@@ -193,8 +328,15 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                 @pl.when(k < m)
                 def _():
                     pltpu.make_async_copy(
-                        P_hbm.at[k], p_blk.at[b], sem_in.at[b]
+                        P_hbm.at[k, :, gsl], p_blk.at[b], sem_in.at[b]
                     ).start()
+                    if big:
+                        pltpu.make_async_copy(
+                            ti_hbm.at[k], ti_blk.at[b], sem_tab.at[b, 0]
+                        ).start()
+                        pltpu.make_async_copy(
+                            tf_hbm.at[k], tf_blk.at[b], sem_tab.at[b, 1]
+                        ).start()
 
             # ---- phase A: decisions against block-entry S
             for b in range(Bb):
@@ -207,11 +349,30 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                     csz = rowmeta_ref[k, 2]
                     rsz = rowmeta_ref[k, 3]
                     iseq = rowmeta_ref[k, 4]
-                    valid = sched_ref[k] > 0  # [G, 128]
+                    valid = sched_v[k] > 0  # [Gc, 128]
 
                     pltpu.make_async_copy(
-                        P_hbm.at[k], p_blk.at[b], sem_in.at[b]
+                        P_hbm.at[k, :, gsl], p_blk.at[b], sem_in.at[b]
                     ).wait()
+                    if big:
+                        pltpu.make_async_copy(
+                            ti_hbm.at[k], ti_blk.at[b], sem_tab.at[b, 0]
+                        ).wait()
+                        pltpu.make_async_copy(
+                            tf_hbm.at[k], tf_blk.at[b], sem_tab.at[b, 1]
+                        ).wait()
+
+                    def slot_vf(s):
+                        if big:
+                            sc, sl = s // LANE, s % LANE
+                            j = ti_blk[b, sc, sl]
+                            cj = tf_blk[b, sc, sl]
+                            af = None if unit else ti_blk[b, C + sc, sl].astype(f32)
+                        else:
+                            j = rowvars_ref[k, s]
+                            cj = cost_ref[j]
+                            af = None if unit else rowfac_ref[k, s].astype(f32)
+                        return j, cj, af
 
                     # slot loop runs only the row's real length (rows
                     # average well under Kr); stats carried through the
@@ -219,20 +380,17 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                     # test
                     def slot_stats(s, carry):
                         cnt, bots, tops, mx_np, mn_p = carry
-                        j = rowvars_ref[k, s]
-                        cj = cost_ref[j]
-                        Sj = S_out[j]  # [G, 128]
+                        j, cj, af = slot_vf(s)
+                        Sj = S_v[j]  # [Gc, 128]
                         pr = p_blk[b, s]
                         if unit:
                             r = cj - (Sj + (theta - 1.0) * pr)
                         else:
-                            af = rowfac_ref[k, s].astype(f32)
                             r = cj - (Sj + af * (theta - 1.0) * pr)
                             r = jnp.where(af < 0, -r, r)
                         r = r + amp * cj
                         sv = r if minimize else -r
-                        bits = pltpu.prng_random_bits((G, LANE))
-                        u = (bits >> 8).astype(f32) * jnp.float32(2**-24)
+                        u = draw_u(k, s)
                         sv = sv * (1.0 + (u - 0.5) * 2e-6) + (u - 0.5) * (
                             delta * 1e-3
                         )
@@ -249,11 +407,11 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                         rsz,
                         slot_stats,
                         (
-                            jnp.zeros((G, LANE), jnp.int32),
-                            [jnp.full((G, LANE), inf, f32) for _ in range(J_bot)],
-                            [jnp.full((G, LANE), -inf, f32) for _ in range(J_top)],
-                            jnp.full((G, LANE), -inf, f32),
-                            jnp.full((G, LANE), inf, f32),
+                            jnp.zeros((Gc, LANE), jnp.int32),
+                            [jnp.full((Gc, LANE), inf, f32) for _ in range(J_bot)],
+                            [jnp.full((Gc, LANE), -inf, f32) for _ in range(J_top)],
+                            jnp.full((Gc, LANE), -inf, f32),
+                            jnp.full((Gc, LANE), inf, f32),
                         ),
                     )
 
@@ -308,13 +466,19 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                 @pl.when(k < m)
                 def _():
                     rsz = rowmeta_ref[k, 3]
-                    valid = sched_ref[k] > 0
+                    valid = sched_v[k] > 0
                     d = d_blk[b]
                     dpi = dpi_blk[b]
                     thr = thr_blk[b]
 
                     def slot_apply(s, _):
-                        j = rowvars_ref[k, s]
+                        if big:
+                            sc, sl = s // LANE, s % LANE
+                            j = ti_blk[b, sc, sl]
+                            af = None if unit else ti_blk[b, C + sc, sl].astype(f32)
+                        else:
+                            j = rowvars_ref[k, s]
+                            af = None if unit else rowfac_ref[k, s].astype(f32)
                         chosen = keys_blk[b, s] <= thr
                         sgn = jnp.where(chosen, 1.0, -1.0)
                         pr = p_blk[b, s]
@@ -322,25 +486,24 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                             new_p = theta * pr + sgn * d
                             new_p = jnp.where(valid, new_p, pr)
                             p_blk[b, s] = new_p
-                            S_out[j] = S_out[j] + (dpi + new_p - pr)
+                            S_v[j] = S_v[j] + (dpi + new_p - pr)
                             bit = chosen.astype(jnp.int32)
                         else:
-                            af = rowfac_ref[k, s].astype(f32)
                             new_p = (
                                 theta * pr
                                 + sgn * jnp.where(af < 0, -1.0, 1.0) * d
                             )
                             new_p = jnp.where(valid, new_p, pr)
                             p_blk[b, s] = new_p
-                            S_out[j] = S_out[j] + af * (dpi + new_p - pr)
+                            S_v[j] = S_v[j] + af * (dpi + new_p - pr)
                             bit = (sgn * af > 0).astype(jnp.int32)
-                        x_out[j] = jnp.where(valid, bit, x_out[j])
+                        x_v[j] = jnp.where(valid, bit, x_v[j])
                         return 0
 
                     jax.lax.fori_loop(0, rsz, slot_apply, 0)
-                    pi_out[k] = pi_out[k] + dpi
+                    pi_v[k] = pi_v[k] + dpi
                     pltpu.make_async_copy(
-                        p_blk.at[b], P_out.at[k], sem_out.at[b]
+                        p_blk.at[b], P_out.at[k, :, gsl], sem_out.at[b]
                     ).start()
 
             for b in range(Bb):
@@ -349,7 +512,7 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
                 @pl.when(k < m)
                 def _():
                     pltpu.make_async_copy(
-                        p_blk.at[b], P_out.at[k], sem_out.at[b]
+                        p_blk.at[b], P_out.at[k, :, gsl], sem_out.at[b]
                     ).wait()
 
             return 0
@@ -357,10 +520,23 @@ def _make_kernel(cp: CompiledProblem, G: int, minimize: bool, Bb: int):
         n_blocks = (nrows_ref[0] + Bb - 1) // Bb
         jax.lax.fori_loop(0, n_blocks, block_body, 0)
 
+        # ---- stream the state slices back out
+        cpo = [
+            pltpu.make_async_copy(S_v, S_out.at[:, gsl], sem_st.at[0]),
+            pltpu.make_async_copy(x_v, x_out.at[:, gsl], sem_st.at[1]),
+            pltpu.make_async_copy(pi_v, pi_out.at[:, gsl], sem_st.at[2]),
+        ]
+        for c in cpo:
+            c.start()
+        for c in cpo:
+            c.wait()
+
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("minimize", "block_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("minimize", "kplan", "interpret")
+)
 def _psweep_call(
     cp: CompiledProblem,
     x: jax.Array,  # int32[n, R]
@@ -377,14 +553,16 @@ def _psweep_call(
     obj_amp: jax.Array,  # f32[R]
     S: jax.Array,  # f32[n, R]
     minimize: bool,
-    block_size: int,
+    kplan: PsweepPlan,
     interpret: bool = False,
 ):
     m, n, Kr = cp.m, cp.n, cp.Kr
     R = pi.shape[-1]
     G = R // LANE
-    Bb = block_size
+    Gc, Bb, big = kplan.Gc, kplan.Bb, kplan.big
+    Gg = G // Gc
     f32 = jnp.float32
+    unit = cp.all_unit_pos
 
     S3 = S.reshape(n, G, LANE)
     x3 = x.reshape(n, G, LANE)
@@ -410,34 +588,71 @@ def _psweep_call(
             [order, jnp.full((mp_pad - mp,), m, jnp.int32)]
         )
 
-    kernel = _make_kernel(cp, G, minimize, Bb)
+    kernel = _make_kernel(
+        cp, Gc, minimize, Bb, big, hash_noise=interpret
+    )
+    scalar_inputs = [seed, order.astype(jnp.int32), jnp.asarray(
+        n_rows, jnp.int32
+    ).reshape(1), rowmeta, scal]
+    tensor_inputs = [S3, x3, pi3, kap, ampv, sched3, P4]
+    rv = cp.row_vars
+    rf = cp.row_factor.astype(jnp.int32)
+    C = _table_chunks(Kr)
+    if not big:
+        scalar_inputs += [rv, rf, cost.astype(f32)]
+    else:
+        pad = C * LANE - Kr
+        def chunked(t):
+            return jnp.pad(t, ((0, 0), (0, pad))).reshape(m, C, LANE)
+        ti_parts = [chunked(rv)]
+        if not unit:
+            ti_parts.append(chunked(rf))
+        tab_i = jnp.concatenate(ti_parts, axis=1)  # [m, ti*C, 128]
+        rcost = jnp.where(cp.row_mask, cost.astype(f32)[rv], 0.0)  # [m, Kr]
+        tab_f = chunked(rcost)
+        tensor_inputs += [tab_i, tab_f]
+
+    n_scalar = len(scalar_inputs)
+    n_tensor = len(tensor_inputs)
+    # operand index of S after the scalar-prefetch args is n_scalar; the
+    # aliased inputs are S, x, pi (first three tensors) and P (seventh)
+    aliases = {
+        n_scalar + 0: 0,
+        n_scalar + 1: 1,
+        n_scalar + 2: 2,
+        n_scalar + 6: 3,
+    }
+
+    scratch = [
+        pltpu.VMEM((n, Gc, LANE), f32),  # S_v
+        pltpu.VMEM((n, Gc, LANE), jnp.int32),  # x_v
+        pltpu.VMEM((m, Gc, LANE), f32),  # pi_v
+        pltpu.VMEM((m, Gc, LANE), jnp.int32),  # sched_v
+        pltpu.VMEM((Gc, LANE), f32),  # kap_v
+        pltpu.VMEM((Gc, LANE), f32),  # amp_v
+        pltpu.VMEM((Bb, Kr, Gc, LANE), f32),  # p_blk
+        pltpu.VMEM((Bb, Kr, Gc, LANE), f32),  # keys_blk
+        pltpu.VMEM((Bb, Gc, LANE), f32),  # thr_blk
+        pltpu.VMEM((Bb, Gc, LANE), f32),  # d_blk
+        pltpu.VMEM((Bb, Gc, LANE), f32),  # dpi_blk
+        pltpu.SemaphoreType.DMA((8,)),  # sem_st
+        pltpu.SemaphoreType.DMA((Bb,)),  # sem_in
+        pltpu.SemaphoreType.DMA((Bb,)),  # sem_out
+    ]
+    if big:
+        ti = 1 if unit else 2
+        scratch += [
+            pltpu.VMEM((Bb, ti * C, LANE), jnp.int32),  # ti_blk
+            pltpu.VMEM((Bb, C, LANE), f32),  # tf_blk
+            pltpu.SemaphoreType.DMA((Bb, 2)),  # sem_tab
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # S
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pi
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # kappa
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # amp
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sched
-            pl.BlockSpec(memory_space=pltpu.ANY),  # P (HBM)
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Bb, Kr, G, LANE), f32),  # p_blk
-            pltpu.VMEM((Bb, Kr, G, LANE), f32),  # keys_blk
-            pltpu.VMEM((Bb, G, LANE), f32),  # thr_blk
-            pltpu.VMEM((Bb, G, LANE), f32),  # d_blk
-            pltpu.VMEM((Bb, G, LANE), f32),  # dpi_blk
-            pltpu.SemaphoreType.DMA((Bb,)),
-            pltpu.SemaphoreType.DMA((Bb,)),
-        ],
+        num_scalar_prefetch=n_scalar,
+        grid=(Gg,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_tensor,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        scratch_shapes=scratch,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n, G, LANE), f32),
@@ -445,33 +660,14 @@ def _psweep_call(
         jax.ShapeDtypeStruct((m, G, LANE), f32),
         jax.ShapeDtypeStruct((m, Kr, G, LANE), f32),
     ]
-    nrows_arr = jnp.asarray(n_rows, jnp.int32).reshape(1)
     S3, x3, pi3, P4 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # operand index after the 8 scalar-prefetch args: S=8, x=9, pi=10,
-        # kappa=11, amp=12, sched=13, P=14
-        input_output_aliases={8: 0, 9: 1, 10: 2, 14: 3},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(
-        seed,
-        order.astype(jnp.int32),
-        nrows_arr,
-        cp.row_vars,
-        cp.row_factor.astype(jnp.int32),
-        rowmeta,
-        cost.astype(f32),
-        scal,
-        S3,
-        x3,
-        pi3,
-        kap,
-        ampv,
-        sched3,
-        P4,
-    )
+    )(*scalar_inputs, *tensor_inputs)
     return (
         x3.reshape(n, R),
         P4.reshape(m, Kr, R),
@@ -506,6 +702,8 @@ def psweep(
 
     Same contract: returns (x, P, pi, S, new_violated, remaining)."""
     assert not random_solver and quad_fac is None
+    kplan = plan(cp, pi.shape[-1], P.dtype, block_size)
+    assert kplan is not None, "psweep called on an unsupported instance"
     dtype = P.dtype
     delta = jnp.asarray(delta, dtype)
     theta = jnp.asarray(theta, dtype)
@@ -517,8 +715,7 @@ def psweep(
         n_rows = jnp.asarray(order.shape[0], jnp.int32)
     x, P, pi, S = _psweep_call(
         cp, x, P, pi, cost, sched, order, n_rows, kappa, delta, theta,
-        key, obj_amp, S, minimize, block_size=min(block_size, MAX_B),
-        interpret=interpret,
+        key, obj_amp, S, minimize, kplan=kplan, interpret=interpret,
     )
     new_viol = violated_mask(cp, x)
     return x, P, pi, S, new_viol, jnp.sum(new_viol.astype(jnp.int32), axis=0)
