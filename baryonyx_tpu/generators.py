@@ -188,3 +188,34 @@ def random_knapsack_101_lp(
     out.append(" ".join(f"x{j}" for j in range(n)))
     out.append("end")
     return "\n".join(out) + "\n"
+
+
+def contradiction_cover_lp(groups: int, group_size: int = 20, seed: int = 0) -> str:
+    """Deliberately infeasible cover pairs, used by the head-to-head
+    throughput treadmill (scripts/head_to_head.py).
+
+    Per group of ``group_size`` variables: row A requires >= 60% of the
+    group set, row B caps the same group minus its last variable at 25% —
+    jointly unsatisfiable, so at least one of the pair is violated under
+    every assignment and a solver sweeps forever (~50% sustained violation)
+    instead of converging. Row lengths match SCP-class instances, making
+    measured row-update throughput transferable. The reference has no such
+    fixture; its solve loop has no other sustained-sweep regime to measure
+    (it only processes violated rows and restarts from near-feasible
+    population members: itm-optimizer-common.hpp:658-694).
+    """
+    rng = random.Random(seed)
+    n = groups * group_size
+    hi = max(2, int(group_size * 0.6))
+    lo = max(1, int(group_size * 0.25))
+    out = ["minimize"]
+    out.append(" ".join(f"+ {1 + rng.randint(0, 6)} x{j}" for j in range(n)))
+    out.append("subject to")
+    for g in range(groups):
+        vs = [f"x{group_size * g + i}" for i in range(group_size)]
+        out.append(f"ca{g}: " + " + ".join(vs) + f" >= {hi}")
+        out.append(f"cb{g}: " + " + ".join(vs[:-1]) + f" <= {lo}")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(n)))
+    out.append("end")
+    return "\n".join(out) + "\n"

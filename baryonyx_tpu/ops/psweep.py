@@ -35,10 +35,13 @@ tiles).
 
 Row tables come in two flavors (``plan().big``): small instances
 prefetch row_vars/row_factor/cost into SMEM (scalar-prefetch); large
-ones keep them in HBM — chunked to [m, C, 128] rows, the only row shape
-the DMA path accepts — and DMA each block's rows into scratch alongside
-the P rows (costs are pre-gathered per (row, slot) so no [n]-indexed
-table is ever needed).
+ones keep them in HBM — chunked to [m, C, 128] rows so the slices are
+DMA-tile-aligned — and DMA each block's rows into *SMEM* scratch
+alongside the P rows (costs are pre-gathered per (row, slot) so no
+[n]-indexed table is ever needed). SMEM, not VMEM: the slot loop reads
+single table entries at dynamic indices, and Mosaic only allows dynamic
+lane addressing in scalar memory (a VMEM vector.load requires
+128-aligned lane indices — found the hard way on hardware).
 
 Per block (reference affect(), itm-common.hpp:382-467):
   phase A, per row (slot loop bounded by the row's true length): gather
@@ -124,11 +127,14 @@ def _vmem_bytes(cp: CompiledProblem, Gc: int, Bb: int, big: bool) -> int:
         + 5 * Bb * tile  # thr/d/dpi block scratch (+ slack)
         + 2 * tile  # kappa/amp
     )
-    if big:
-        # streamed table scratch: int chunks (vars [+ factors]) + f32 costs
-        ti = 1 if cp.all_unit_pos else 2
-        v += Bb * (ti + 1) * _table_chunks(cp.Kr) * LANE * 4
     return v
+
+
+def _smem_table_bytes(cp: CompiledProblem, Bb: int) -> int:
+    """Big-mode streamed table scratch lives in SMEM: int chunks (vars
+    [+ factors]) + f32 costs per block row."""
+    ti = 1 if cp.all_unit_pos else 2
+    return Bb * (ti + 1) * _table_chunks(cp.Kr) * LANE * 4
 
 
 def plan(
@@ -162,6 +168,8 @@ def plan(
             continue
         for Bb in (bb_req, 8, 4, 2):
             if Bb > bb_req:
+                continue
+            if big and smem_base + _smem_table_bytes(cp, Bb) > SMEM_BUDGET:
                 continue
             if _vmem_bytes(cp, Gc, Bb, big) <= VMEM_BUDGET:
                 return PsweepPlan(Gc=Gc, Bb=Bb, big=big)
@@ -642,8 +650,8 @@ def _psweep_call(
     if big:
         ti = 1 if unit else 2
         scratch += [
-            pltpu.VMEM((Bb, ti * C, LANE), jnp.int32),  # ti_blk
-            pltpu.VMEM((Bb, C, LANE), f32),  # tf_blk
+            pltpu.SMEM((Bb, ti * C, LANE), jnp.int32),  # ti_blk
+            pltpu.SMEM((Bb, C, LANE), f32),  # tf_blk
             pltpu.SemaphoreType.DMA((Bb, 2)),  # sem_tab
         ]
 

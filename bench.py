@@ -8,22 +8,34 @@ replica-sweeps per second of the optimize-mode evolution step on an
 scp41-sized set-covering instance (200 constraints x 1000 variables —
 reference: benchmarks/scp.csv line scp41), R replicas on one chip.
 
-vs_baseline divides by the reference C++ solver's measured total sweep
-rate on this class of instance: baryonyx 0.5 built -O2, 8 threads on this
-host's CPU, instrumented via its per-insert logs — ~2.16e5 restarts in
-20 s with >= 2 sweeps each gives ~2.2e4 effective full-problem-equivalent
-sweeps/s after scaling by the violated-row fraction it actually touches.
-This constant is an estimate recorded in round 1; later rounds replace it
-with a live head-to-head.
+vs_baseline divides by the reference C++ solver's measured sweep rate on
+this instance class, produced by scripts/head_to_head.py: the reference
+is built from /root/reference (scripts/build_reference.sh, with an
+atomic rows-updated counter compiled into its sweep loop), run on the
+contradiction_cover treadmill to measure sustained element-updates/s,
+and converted to scp200x1000-equivalent full sweeps/s across all host
+CPUs. The measured value is read from H2H.json when present; the
+fallback constant is the round-3 measured value (which came out within
+1.3% of round 1's instrumented estimate).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-# Reference-equivalent full sweeps/s (see module docstring).
-BASELINE_SWEEPS_PER_S = 22_000.0
+# Round-3 head-to-head measurement (H2H.json overrides when present).
+BASELINE_SWEEPS_PER_S = 22_284.0
+
+
+def _baseline() -> float:
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "H2H.json")
+    try:
+        with open(p) as fh:
+            return float(json.load(fh)["baseline_scp200x1000_sweeps_per_s"])
+    except (OSError, KeyError, ValueError):
+        return BASELINE_SWEEPS_PER_S
 
 
 def main() -> None:
@@ -144,7 +156,7 @@ def main() -> None:
                 "metric": "optimize_replica_sweeps_per_s_scp200x1000",
                 "value": round(sweeps_per_s, 1),
                 "unit": "replica-sweeps/s/chip",
-                "vs_baseline": round(sweeps_per_s / BASELINE_SWEEPS_PER_S, 3),
+                "vs_baseline": round(sweeps_per_s / _baseline(), 3),
             }
         )
     )

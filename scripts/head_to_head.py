@@ -1,0 +1,241 @@
+"""Live head-to-head: reference baryonyx (C++ on this host's CPUs) vs
+baryonyx_tpu (this repo, one TPU chip), same instances, equal solver
+budgets — the measured-baseline harness VERDICT round 2 asked for.
+
+Produces, at the repo root:
+  - H2H.json: machine-readable results + the measured baseline constant
+    bench.py uses for its ``vs_baseline`` field;
+  - bench/h2h.csv (+ h2h-stats.csv): reference-protocol CSV with one
+    column per solver (bench/harness.py / reference app/src/benchmark.cpp
+    format).
+
+Protocol
+  throughput: the reference has no sustained-sweep regime on feasible
+  instances (it only processes violated rows and restarts from
+  near-feasible population members), so peak engine throughput is
+  measured on the contradiction_cover treadmill (generators.py:
+  contradiction_cover_lp — infeasible by construction, ~50% sustained
+  violation, SCP-like row lengths) in solve mode with kappa-step:0 so
+  it never exits early. Rows-updated counts come from the BX_SWEEP_COUNT
+  shim compiled in by scripts/build_reference.sh; the per-row element
+  count converts rows/s to element-updates/s, which transfers across
+  instances. The scp200x1000-equivalent full-sweep baseline is
+      elem_rate_1t * ncpu / nnz(scp200x1000)
+  (one of our sweeps updates ALL m rows, so this is conservative toward
+  the reference: its counted rows are the only work it does, ours always
+  pay the full instance).
+
+  quality: per instance, both solvers run optimize mode with the same
+  internal time budget (compile time excluded on both sides — the
+  reference's parse is also excluded); objectives recorded side by side.
+
+Usage: python scripts/head_to_head.py [--budget 20] [--quick] [--skip-quality]
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_BIN = "/tmp/bxref/build/app/baryonyx-0.5"
+WORK = "/tmp/h2h"
+
+
+def ensure_reference() -> None:
+    if not os.path.exists(REF_BIN):
+        subprocess.run(
+            ["bash", os.path.join(REPO, "scripts", "build_reference.sh")],
+            check=True,
+        )
+
+
+def ref_run(lp: str, args, timeout: float, count: bool = False):
+    env = dict(os.environ)
+    if count:
+        env["BX_SWEEP_COUNT"] = "1"
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [REF_BIN, *args, lp],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=WORK,
+    )
+    wall = time.perf_counter() - t0
+    out = r.stdout + r.stderr
+    value = None
+    m = re.search(r"Best solution found(?: via preprocessor)?: (-?[\d.e+]+)", out)
+    if m:
+        value = float(m.group(1))
+    sweeps = rows = None
+    m = re.search(r"BX_SWEEPS (\d+) BX_ROWS (\d+)", out)
+    if m:
+        sweeps, rows = int(m.group(1)), int(m.group(2))
+    return {"value": value, "wall": wall, "sweeps": sweeps, "rows": rows}
+
+
+def our_run(lp: str, budget: float):
+    """Run our CLI (TPU). Internal time budget = budget; wall includes
+    compile, which we report separately."""
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "baryonyx_tpu.cli", "--optimize",
+            "-p", f"time-limit:{budget}", lp,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=budget * 4 + 1500,
+        cwd=REPO,
+    )
+    wall = time.perf_counter() - t0
+    out = r.stdout + r.stderr
+    value = None
+    m = re.search(r"Objective value: (-?[\d.e+]+)", out)
+    if m:
+        value = float(m.group(1))
+    ok = "success" in out
+    return {"value": value if ok else None, "wall": wall}
+
+
+def measure_treadmill():
+    """Reference peak engine throughput: element updates/s, one thread."""
+    from baryonyx_tpu.generators import contradiction_cover_lp
+
+    gs = 20
+    lp = os.path.join(WORK, "treadmill.lp")
+    with open(lp, "w") as fh:
+        fh.write(contradiction_cover_lp(100, gs, seed=3))
+    base = ["-p", "kappa-step:0"]
+    # warm (page cache, first-touch)
+    ref_run(lp, base + ["-p", "limit:500"], 120, count=True)
+    r1 = ref_run(lp, base + ["-p", "limit:2000"], 300, count=True)
+    r2 = ref_run(lp, base + ["-p", "limit:12000"], 600, count=True)
+    drows = r2["rows"] - r1["rows"]
+    dt = r2["wall"] - r1["wall"]
+    rows_per_s = drows / dt
+    # rows alternate length gs and gs-1
+    elems_per_s = rows_per_s * (gs - 0.5)
+    return {
+        "instance": "contradiction_cover(100x20)",
+        "ref_rows_per_s_1t": round(rows_per_s, 1),
+        "ref_elem_updates_per_s_1t": round(elems_per_s, 1),
+        "sweeps": [r1["sweeps"], r2["sweeps"]],
+        "walls": [round(r1["wall"], 3), round(r2["wall"], 3)],
+    }
+
+
+def scp_nnz(m, n, density, seed):
+    from baryonyx_tpu.generators import random_set_cover_lp
+    from baryonyx_tpu.io.lp_parse import parse_lp
+
+    pb = parse_lp(random_set_cover_lp(m, n, density, seed=seed))
+    return sum(len(c.elements) for c in pb.greater_constraints)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float, default=20.0)
+    ap.add_argument("--quick", action="store_true",
+                    help="small instances only, short budget")
+    ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="reference + baseline only (no TPU needed)")
+    args = ap.parse_args()
+
+    os.makedirs(WORK, exist_ok=True)
+    ensure_reference()
+
+    result = {"host_cpus": os.cpu_count(), "budget_s": args.budget}
+
+    print("== treadmill throughput (reference, 1 thread) ==", flush=True)
+    tm = measure_treadmill()
+    result["treadmill"] = tm
+    nnz = scp_nnz(200, 1000, 0.02, 41)
+    baseline = tm["ref_elem_updates_per_s_1t"] * os.cpu_count() / nnz
+    result["nnz_scp200x1000"] = nnz
+    result["baseline_scp200x1000_sweeps_per_s"] = round(baseline, 1)
+    print(json.dumps(tm))
+    print(f"baseline (all-CPU scp200x1000-equivalent full sweeps/s): "
+          f"{baseline:,.0f}", flush=True)
+
+    if not args.skip_quality:
+        from baryonyx_tpu.generators import (
+            n_queens_lp,
+            random_assignment_lp,
+            random_set_cover_lp,
+        )
+
+        insts = [
+            ("scp200x1000", random_set_cover_lp(200, 1000, 0.02, seed=41)),
+            ("nqueens50", n_queens_lp(50)),
+        ]
+        if not args.quick:
+            insts += [
+                ("scp1000x10000", random_set_cover_lp(1000, 10000, 0.02, seed=11)),
+                ("assign100", random_assignment_lp(100, seed=5)),
+            ]
+        budget = 5.0 if args.quick else args.budget
+
+        rows = []
+        for name, text in insts:
+            lp = os.path.join(WORK, f"{name}.lp")
+            with open(lp, "w") as fh:
+                fh.write(text)
+            print(f"== {name}: reference optimize {budget}s ==", flush=True)
+            ref = ref_run(
+                lp, ["--optimize", "-p", f"time-limit:{budget}"],
+                budget * 3 + 120,
+            )
+            ours = {"value": None, "wall": None}
+            if not args.skip_ours:
+                print(f"== {name}: baryonyx_tpu optimize {budget}s ==", flush=True)
+                ours = our_run(lp, budget)
+            rows.append({
+                "instance": name,
+                "reference": ref["value"],
+                "baryonyx_tpu": ours["value"],
+                "ref_wall_s": round(ref["wall"], 2),
+                "ours_wall_s": round(ours["wall"], 2) if ours["wall"] else None,
+            })
+            print(json.dumps(rows[-1]), flush=True)
+        result["quality"] = rows
+
+        # reference-protocol CSV (bench/harness.py format)
+        from baryonyx_tpu.bench.harness import BenchData
+
+        csv_path = os.path.join(REPO, "bench", "h2h.csv")
+        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+        hdr = ["file", "status", f"bxref-{os.cpu_count()}c-{int(budget)}s"]
+        if not args.skip_ours:
+            hdr.append(f"bxtpu-1chip-{int(budget)}s")
+        data = BenchData(hdr, [])
+        for r in rows:
+            best = [v for v in (r["reference"], r["baryonyx_tpu"]) if v is not None]
+            line = [
+                r["instance"],
+                str(min(best)) if best else "inf",
+                str(r["reference"]) if r["reference"] is not None else "inf",
+            ]
+            if not args.skip_ours:
+                line.append(
+                    str(r["baryonyx_tpu"]) if r["baryonyx_tpu"] is not None else "inf"
+                )
+            data.rows.append(line)
+        data.save(csv_path)
+        print(f"wrote {csv_path}")
+
+    with open(os.path.join(REPO, "H2H.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print("wrote H2H.json")
+
+
+if __name__ == "__main__":
+    main()

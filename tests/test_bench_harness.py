@@ -67,3 +67,29 @@ def test_benchmark_duplicate_column_gets_suffix(tmp_path):
     data = BenchData.load(csv_path)
     # reference warns and appends anyway; we disambiguate with a suffix
     assert data.header[-1] == "other-solver-2"
+
+
+def test_contradiction_cover_generator():
+    """The head-to-head treadmill instance (scripts/head_to_head.py) must
+    parse, survive preprocessing un-fixed, and be infeasible by
+    construction (row A needs >= 60% of a group set, row B caps the group
+    minus one variable at 25%)."""
+    from baryonyx_tpu.core.context import make_context
+    from baryonyx_tpu.generators import contradiction_cover_lp
+    from baryonyx_tpu.io.lp_parse import parse_lp
+    from baryonyx_tpu.preprocess.fixing import preprocess
+
+    pb = parse_lp(contradiction_cover_lp(5, 20, seed=1))
+    assert len(pb.vars.values) == 100
+    assert len(pb.greater_constraints) == 5
+    assert len(pb.less_constraints) == 5
+    out = preprocess(make_context(0), pb)
+    # nothing fixable: the contradiction must survive to the solver
+    assert len(out.vars.values) == 100
+    # infeasibility: A requires >= 12 of the 20, B allows <= 5 of the
+    # first 19 -> A - B <= x_last + 5 < 12 for any 0/1 assignment
+    import itertools
+
+    hi = int(pb.greater_constraints[0].value)
+    lo = int(pb.less_constraints[0].value)
+    assert hi > lo + 1  # x_last alone cannot bridge the gap

@@ -65,6 +65,10 @@ def _run_pair(cp, cost_norm, block_size=8, sweeps=3):
 
     kplan = pw.plan(cp, R, jnp.float32, block_size)
     assert kplan is not None
+    # the planner may shrink the row-block below the request (SMEM/VMEM
+    # budgets); parity needs both implementations on the same Jacobi
+    # block boundaries
+    block_size = kplan.Bb
     kappa = jnp.full((R,), 0.15, jnp.float32)
     amp = jnp.zeros((R,), jnp.float32)
     delta, theta = jnp.float32(0.01), jnp.float32(0.5)
