@@ -1,14 +1,14 @@
 """Device mesh + sharding layout for the batched optimizer.
 
 The multi-start replica axis R (trailing axis of every replica-state
-array) shards across the mesh axis ``r``; the population and problem
-arrays replicate. Under jit, the per-step population insert then induces
-one all-gather of the candidate solutions (a [R, n] int32 tensor) over
-ICI, after which every device computes an identical population update —
-the TPU-native equivalent of the reference's mutex-shared ``storage``
-(reference: itm-optimizer-common.hpp:97-99,240-300; SURVEY.md
-section 2.9). The exchange is per-step, tighter than the reference's
-1 Hz polling loop.
+array) shards across the mesh axis ``r``; each device also owns a full
+local population shard (dim 0 of the [D*P, n] global population) that
+evolves independently within a host chunk. The only in-chunk collective
+is the cycle-policy pmax; once per chunk, every device's top-K
+(x, value, remaining) tuples all-gather over ICI and insert into every
+shard (optimize.py: _evolve_impl tail) — the TPU-native equivalent of
+the reference's mutex-shared ``storage`` polled at ~1 Hz (reference:
+itm-optimizer-common.hpp:97-99,240-300,836-857; SURVEY.md section 2.9).
 """
 
 from __future__ import annotations
@@ -29,11 +29,16 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 def shard_opt_state(state, mesh: Mesh):
     """Place an OptState so replica-state arrays shard on their trailing
-    R axis and everything else replicates."""
+    R axis, the population (pre-tiled to [D*P, ...]) shards on dim 0, and
+    everything else replicates."""
     from baryonyx_tpu.solver.optimize import OptState, ReplicaState
 
     def last_axis_sharded(x: jax.Array) -> jax.Array:
         spec = P(*([None] * (x.ndim - 1) + ["r"]))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def first_axis_sharded(x: jax.Array) -> jax.Array:
+        spec = P(*(["r"] + [None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     def replicated(x: jax.Array) -> jax.Array:
@@ -41,7 +46,7 @@ def shard_opt_state(state, mesh: Mesh):
 
     rs = state.replicas
     new_rs = ReplicaState(*[last_axis_sharded(a) for a in rs])
-    pop = jax.tree_util.tree_map(replicated, state.pop)
+    pop = jax.tree_util.tree_map(first_axis_sharded, state.pop)
     return OptState(
         new_rs,
         pop,

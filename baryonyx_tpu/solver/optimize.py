@@ -111,12 +111,13 @@ def _evolve_impl(
     and restart.
 
     With ``axis_name`` set this body runs inside ``shard_map`` over a
-    device mesh: replica-state arrays are local shards, the population and
-    problem arrays are replicated, and the per-step candidate insert
-    all-gathers the (x, value, remaining) tuples over ICI so every device
-    applies the identical population update — the TPU-native equivalent of
-    the reference's mutex-shared ``storage``
-    (reference: itm-optimizer-common.hpp:97-99,240-300; SURVEY.md §2.9)."""
+    device mesh: replica-state arrays and the population are local shards
+    and the problem arrays are replicated. Steps run collective-free
+    (candidates insert into the local population shard); the devices'
+    solutions mix once per call through the compact top-K exchange after
+    the step loop — the TPU-native equivalent of the reference's
+    mutex-shared ``storage`` polled at ~1 Hz
+    (reference: itm-optimizer-common.hpp:97-99,240-300,836-857)."""
     m, n = cp.m, cp.n
     B = block_size
     mp = ((m + B - 1) // B) * B
@@ -148,12 +149,13 @@ def _evolve_impl(
             state.key, 5
         )
         if axis_name is not None:
-            # decorrelate per-device randomness; k_ins stays shared so
-            # every device computes the identical population update
+            # decorrelate per-device randomness (populations are local
+            # shards now, so insert victims decorrelate too)
             dev = jax.lax.axis_index(axis_name)
             k_ord = jax.random.fold_in(k_ord, dev)
             k_sweep = jax.random.fold_in(k_sweep, dev)
             k_reinit = jax.random.fold_in(k_reinit, dev)
+            k_ins = jax.random.fold_in(k_ins, dev)
 
         order = common.make_order(
             cp, state.order_code, rs.x, rs.pi, k_ord, mp,
@@ -254,20 +256,12 @@ def _evolve_impl(
         cand_mask = found | anneal_fail
         cand_remaining = jnp.where(found, 0, best_rem).astype(jnp.int32)
         cand_x, cand_value = x.T, value
-        if axis_name is not None:
-            # one all-gather of the candidate tuples over ICI; afterwards
-            # every device holds the full R candidates and computes the
-            # same (k_ins-keyed) insert on its replicated population
-            cand_x = jax.lax.all_gather(cand_x, axis_name, axis=0, tiled=True)
-            cand_value = jax.lax.all_gather(
-                cand_value, axis_name, axis=0, tiled=True
-            )
-            cand_remaining = jax.lax.all_gather(
-                cand_remaining, axis_name, axis=0, tiled=True
-            )
-            cand_mask = jax.lax.all_gather(
-                cand_mask, axis_name, axis=0, tiled=True
-            )
+        # multi-device: candidates go into this device's LOCAL population
+        # shard only — zero per-step collectives. Cross-device mixing
+        # happens once per host chunk via the top-K exchange after the
+        # step loop (see _evolve_impl's tail), matching the reference's
+        # loose ~1 Hz coupling (itm-optimizer-common.hpp:836-857) instead
+        # of round 2's [R, n] all-gather every sweep.
         pop = batch_insert(
             state.pop, cand_x, cand_value, cand_remaining, cand_mask, k_ins,
             hash_weights, minimize,
@@ -413,6 +407,31 @@ def _evolve_impl(
     state, _ = jax.lax.while_loop(
         cond, body, (state, jnp.asarray(0, jnp.int32))
     )
+
+    if axis_name is not None:
+        # --- once-per-chunk population exchange over ICI -------------------
+        # Each device's population evolved independently during the chunk;
+        # one all-gather of every device's top-K (x, value, remaining)
+        # tuples, then a batched insert, spreads the fleet's best solutions
+        # to every shard. Compact: K*n per device instead of round 2's
+        # R*n per step (R/K * steps-per-chunk less ICI traffic — ~10^3-10^4x
+        # at default chunk lengths). Self-candidates and already-known
+        # solutions fall to the hash dedup inside batch_insert. Reference
+        # coupling model: the 1 Hz polling loop + mutex storage
+        # (itm-optimizer-common.hpp:836-857, :240-300).
+        pop = state.pop
+        K = min(16, pop.x.shape[0])
+        gx = jax.lax.all_gather(pop.x[:K], axis_name, axis=0, tiled=True)
+        gv = jax.lax.all_gather(pop.value[:K], axis_name, axis=0, tiled=True)
+        gr = jax.lax.all_gather(
+            pop.remaining[:K], axis_name, axis=0, tiled=True
+        )
+        k_ex = jax.random.fold_in(state.key, 0x5EED)
+        pop = batch_insert(
+            pop, gx, gv, gr, jnp.ones(gx.shape[0], bool), k_ex,
+            hash_weights, minimize,
+        )
+        state = state._replace(pop=pop)
     return state
 
 
@@ -469,10 +488,13 @@ def evolve_sharded(
     """Multi-device evolution: ``shard_map`` over the mesh's replica axis.
 
     Each device runs ``_evolve_impl`` on its local replica shard (the
-    Pallas sweep kernel executes per-device on local shapes); the problem
-    arrays and population replicate, and the only collectives are the
-    per-step candidate all-gather and the cycle-policy pmax — riding ICI,
-    mirroring the reference's loose thread coupling (SURVEY.md §2.9)."""
+    Pallas sweep kernel executes per-device on local shapes) with its own
+    local population shard (dim 0 of the [D*P, n] global population); the
+    problem arrays replicate. In-chunk steps run with ZERO collectives
+    except the cycle-policy pmax; populations mix once per chunk through
+    the compact top-K exchange at the end of ``_evolve_impl`` — riding
+    ICI, mirroring the reference's loose ~1 Hz thread coupling
+    (SURVEY.md §2.9)."""
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
@@ -480,11 +502,15 @@ def evolve_sharded(
     def spec_last(x):
         return P(*([None] * (x.ndim - 1) + [axis]))
 
+    def spec_first(x):
+        return P(*([axis] + [None] * (x.ndim - 1)))
+
     def rep(tree):
         return jax.tree_util.tree_map(lambda _: P(), tree)
 
     rs_specs = ReplicaState(*[spec_last(a) for a in state.replicas])
-    state_specs = OptState(rs_specs, rep(state.pop), P(), P(), P())
+    pop_specs = jax.tree_util.tree_map(spec_first, state.pop)
+    state_specs = OptState(rs_specs, pop_specs, P(), P(), P())
     fn = jax.shard_map(
         functools.partial(
             _evolve_impl,
@@ -690,6 +716,22 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         if os.path.exists(params.checkpoint_path):
             try:
                 saved = load_population(params.checkpoint_path)
+                if (
+                    saved.x.ndim == 2
+                    and saved.x.shape[1] == pop.x.shape[1]
+                    and saved.x.shape[0] > pop.x.shape[0]
+                    and saved.x.shape[0] % pop.x.shape[0] == 0
+                ):
+                    # multi-device checkpoint ([D*P, n]): keep the best P
+                    sv = np.asarray(saved.value, np.float64)
+                    sr = np.asarray(saved.remaining)
+                    sidx = np.lexsort((sv if minimize else -sv, sr))[:P_size]
+                    saved = Population(
+                        x=jnp.asarray(np.asarray(saved.x)[sidx]),
+                        value=jnp.asarray(sv[sidx]),
+                        remaining=jnp.asarray(sr[sidx]),
+                        hash=jnp.asarray(np.asarray(saved.hash)[sidx]),
+                    )
                 if saved.x.shape == pop.x.shape:
                     pop = sort_population(
                         Population(
@@ -866,6 +908,17 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         best_remaining=jnp.full((R,), INT_MAX, jnp.int32),
         restarts=jnp.zeros((R,), jnp.int32),
     )
+    if mesh is not None:
+        # every device gets a full local population (global [D*P, ...],
+        # sharded dim 0); they evolve independently within a chunk and mix
+        # via the end-of-chunk top-K exchange
+        D = len(devices)
+        pop = Population(
+            x=jnp.tile(pop.x, (D, 1)),
+            value=jnp.tile(pop.value, (D,)),
+            remaining=jnp.tile(pop.remaining, (D,)),
+            hash=jnp.tile(pop.hash, (D,)),
+        )
     state = OptState(
         rs, pop, key, jnp.asarray(order_code, jnp.int32), jnp.asarray(0, jnp.int32)
     )
@@ -934,6 +987,18 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
 
     # extraction (reference: :869-900); best LAST to match Result.best
     pop = state.pop
+    if mesh is not None:
+        # the global population is [D*P] device-local sorted shards; the
+        # end-of-chunk exchange puts the fleet best in every shard, but a
+        # host-side global re-sort keeps extraction independent of that
+        px = np.asarray(pop.x)
+        pv = np.asarray(pop.value).astype(np.float64)
+        pr = np.asarray(pop.remaining)
+        idx = np.lexsort((pv if minimize else -pv, pr))
+        pop = Population(
+            x=px[idx], value=pv[idx], remaining=pr[idx],
+            hash=np.asarray(pop.hash)[idx],
+        )
     rem0 = int(pop.remaining[0])
     if rem0 == 0:
         ret.status = ResultStatus.success

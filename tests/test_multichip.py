@@ -38,8 +38,9 @@ def test_optimize_on_mesh_finds_feasible():
 
 
 def test_sharded_matches_single_device_contract():
-    """evolve_sharded advances sweeps and keeps the population replicated
-    and sorted, like the single-device evolve."""
+    """evolve_sharded advances sweeps, keeps every device-local population
+    shard sorted, and spreads the fleet's best solutions to all shards
+    through the end-of-chunk top-K exchange."""
     from baryonyx_tpu.core.context import make_context
     from baryonyx_tpu.io.lp_parse import parse_lp
     from baryonyx_tpu.ops.layout import compile_problem
@@ -104,6 +105,13 @@ def test_sharded_matches_single_device_contract():
         best_remaining=jnp.full((R,), INT_MAX, jnp.int32),
         restarts=jnp.zeros((R,), jnp.int32),
     )
+    D = len(jax.devices())
+    pop = Population(  # per-device local populations, sharded dim 0
+        x=jnp.tile(pop.x, (D, 1)),
+        value=jnp.tile(pop.value, (D,)),
+        remaining=jnp.tile(pop.remaining, (D,)),
+        hash=jnp.tile(pop.hash, (D,)),
+    )
     state = shard_opt_state(
         OptState(
             rs, pop, jax.random.key(5), jnp.asarray(0, jnp.int32),
@@ -143,8 +151,17 @@ def test_sharded_matches_single_device_contract():
         jnp.asarray(40, jnp.int32), mesh=mesh, minimize=True, block_size=8,
     )
     assert int(out.sweeps) == 40
-    # the population stayed sorted (remaining asc, value asc within ties)
-    rem = np.asarray(out.pop.remaining)
-    assert (np.diff(rem) >= 0).all()
+    # every device-local population shard stayed sorted
+    rem = np.asarray(out.pop.remaining).reshape(D, P_size)
+    val = np.asarray(out.pop.value).reshape(D, P_size)
+    assert (np.diff(rem, axis=1) >= 0).all()
+    ties = np.diff(rem, axis=1) == 0
+    assert (np.diff(val, axis=1)[ties] >= -1e-6).all()
     # replicas restarted and reported: at least one candidate entered
     assert int(jnp.sum(out.replicas.restarts)) > 0
+    # top-K exchange: the fleet-best (remaining, value) pair reached every
+    # shard (each shard's local best equals the global best)
+    order = np.lexsort((val.ravel(), rem.ravel()))
+    gb_rem, gb_val = rem.ravel()[order[0]], val.ravel()[order[0]]
+    assert (rem[:, 0] == gb_rem).all()
+    np.testing.assert_allclose(val[:, 0], gb_val, atol=1e-6)
