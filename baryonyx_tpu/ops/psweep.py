@@ -125,7 +125,7 @@ def _vmem_bytes(cp: CompiledProblem, Gc: int, Bb: int, big: bool) -> int:
         + cp.m * tile  # sched_v int32
         + 2 * Bb * cp.Kr * tile  # p_blk + keys_blk
         + 5 * Bb * tile  # thr/d/dpi block scratch (+ slack)
-        + 2 * tile  # kappa/amp
+        + 4 * tile  # kappa/amp/delta/theta
     )
     return v
 
@@ -226,7 +226,6 @@ def _make_kernel(
         order_ref = next(it)  # int32[mp]
         nrows_ref = next(it)  # int32[1]
         rowmeta_ref = next(it)  # int32[m, 5]: bmin, bmax, c_size, r_size, is_eq
-        scal_ref = next(it)  # f32[2]: delta, theta
         if not big:
             rowvars_ref = next(it)  # int32[m, Kr]
             rowfac_ref = next(it)  # int32[m, Kr] (0 = padded slot)
@@ -237,6 +236,10 @@ def _make_kernel(
         pi_hbm = next(it)  # f32[m, G, 128]  (aliased out 2)
         kappa_hbm = next(it)  # f32[G, 128]
         amp_hbm = next(it)  # f32[G, 128]
+        # per-replica hyperparameters (the on-device sweep axis,
+        # SURVEY.md §2.9: "the sweep axis is just another vmap dimension")
+        delta_hbm = next(it)  # f32[G, 128]
+        theta_hbm = next(it)  # f32[G, 128]
         sched_hbm = next(it)  # int32[m, G, 128]
         P_hbm = next(it)  # f32[m, Kr, G, 128] (aliased out 3)
         if big:
@@ -256,6 +259,8 @@ def _make_kernel(
         sched_v = next(it)  # int32[m, Gc, 128]
         kap_v = next(it)  # f32[Gc, 128]
         amp_v = next(it)  # f32[Gc, 128]
+        del_v = next(it)  # f32[Gc, 128]
+        the_v = next(it)  # f32[Gc, 128]
         p_blk = next(it)  # f32[Bb, Kr, Gc, 128]
         keys_blk = next(it)  # f32[Bb, Kr, Gc, 128] — noised selection keys
         thr_blk = next(it)  # f32[Bb, Gc, 128] — selection threshold per row
@@ -313,14 +318,16 @@ def _make_kernel(
             pltpu.make_async_copy(sched_hbm.at[:, gsl], sched_v, sem_st.at[3]),
             pltpu.make_async_copy(kappa_hbm.at[gsl], kap_v, sem_st.at[4]),
             pltpu.make_async_copy(amp_hbm.at[gsl], amp_v, sem_st.at[5]),
+            pltpu.make_async_copy(delta_hbm.at[gsl], del_v, sem_st.at[6]),
+            pltpu.make_async_copy(theta_hbm.at[gsl], the_v, sem_st.at[7]),
         ]
         for c in cps:
             c.start()
         for c in cps:
             c.wait()
 
-        delta = scal_ref[0]
-        theta = scal_ref[1]
+        delta = del_v[:]  # [Gc, 128] — per-replica
+        theta = the_v[:]
         kap = kap_v[:]
         kp = kap / (1.0 - kap)  # [Gc, 128]
         amp = amp_v[:]
@@ -579,6 +586,10 @@ def _psweep_call(
     sched3 = sched.astype(jnp.int32).reshape(m, G, LANE)
     kap = kappa.astype(f32).reshape(G, LANE)
     ampv = obj_amp.astype(f32).reshape(G, LANE)
+    # delta/theta accept scalars or per-replica [R] (the on-device
+    # hyperparameter-sweep axis); either becomes a [G, 128] lane tile
+    deltav = jnp.broadcast_to(delta.astype(f32), (R,)).reshape(G, LANE)
+    thetav = jnp.broadcast_to(theta.astype(f32), (R,)).reshape(G, LANE)
 
     seed = jax.random.key_data(jax.random.fold_in(key, 7)).astype(jnp.uint32)
     seed = seed.reshape(-1)[:2].astype(jnp.int32)
@@ -586,7 +597,6 @@ def _psweep_call(
         [cp.bmin, cp.bmax, cp.neg_count, cp.r_size, cp.is_eq.astype(jnp.int32)],
         axis=1,
     )
-    scal = jnp.stack([delta.astype(f32), theta.astype(f32)])
 
     # pad the order so every block has Bb entries (sentinel m = skip)
     mp = order.shape[0]
@@ -601,8 +611,8 @@ def _psweep_call(
     )
     scalar_inputs = [seed, order.astype(jnp.int32), jnp.asarray(
         n_rows, jnp.int32
-    ).reshape(1), rowmeta, scal]
-    tensor_inputs = [S3, x3, pi3, kap, ampv, sched3, P4]
+    ).reshape(1), rowmeta]
+    tensor_inputs = [S3, x3, pi3, kap, ampv, deltav, thetav, sched3, P4]
     rv = cp.row_vars
     rf = cp.row_factor.astype(jnp.int32)
     C = _table_chunks(Kr)
@@ -623,12 +633,12 @@ def _psweep_call(
     n_scalar = len(scalar_inputs)
     n_tensor = len(tensor_inputs)
     # operand index of S after the scalar-prefetch args is n_scalar; the
-    # aliased inputs are S, x, pi (first three tensors) and P (seventh)
+    # aliased inputs are S, x, pi (first three tensors) and P (ninth)
     aliases = {
         n_scalar + 0: 0,
         n_scalar + 1: 1,
         n_scalar + 2: 2,
-        n_scalar + 6: 3,
+        n_scalar + 8: 3,
     }
 
     scratch = [
@@ -638,6 +648,8 @@ def _psweep_call(
         pltpu.VMEM((m, Gc, LANE), jnp.int32),  # sched_v
         pltpu.VMEM((Gc, LANE), f32),  # kap_v
         pltpu.VMEM((Gc, LANE), f32),  # amp_v
+        pltpu.VMEM((Gc, LANE), f32),  # del_v
+        pltpu.VMEM((Gc, LANE), f32),  # the_v
         pltpu.VMEM((Bb, Kr, Gc, LANE), f32),  # p_blk
         pltpu.VMEM((Bb, Kr, Gc, LANE), f32),  # keys_blk
         pltpu.VMEM((Bb, Gc, LANE), f32),  # thr_blk

@@ -58,12 +58,23 @@ def _score(res: Result, minimize: bool) -> float:
 
 
 def manual_optimize(ctx: Context, raw: RawProblem, grid_len: int = 5) -> Result:
-    """grid_len^5 odometer grid walk, then re-run with the best setting
-    (reference: manual-optimizer.cpp:31-174 — the reference builds each
-    axis as 5 increasing values from the current parameter; its axis-fill
-    loops reuse the theta array by copy-paste, a bug not replicated)."""
+    """grid_len^5 odometer grid, evaluated as an ON-DEVICE batch axis:
+    grid combos tile cyclically onto the replica lanes (per-replica
+    theta/delta/kappa-schedule/init-policy — optimize_compiled's
+    hp_vectors), so one evolve run scores up to R combos concurrently and
+    the whole 5^5 grid costs ceil(C/R) runs instead of 3125 sequential
+    optimizes. Per-combo score = best feasible value among its replicas;
+    the winner is re-run with the full budget.
+
+    reference: manual-optimizer.cpp:31-174 — the reference runs a full
+    multi-threaded optimize per combo (its axis-fill loops also reuse the
+    theta array by copy-paste, a bug not replicated); SURVEY.md §2.9 maps
+    this to "an extra vmap axis"."""
+    import jax
+
+    from baryonyx_tpu.solver.optimize import default_replicas, optimize_compiled
+
     pb = _prepare(ctx, raw)
-    minimize = pb.type == ObjectiveType.minimize
     p = ctx.parameters
     L = grid_len
 
@@ -78,19 +89,42 @@ def manual_optimize(ctx: Context, raw: RawProblem, grid_len: int = 5) -> Result:
         axis(p.kappa_step, 1e-3),
         axis(p.init_policy_random, 0.9),
     ]
+    combos = np.array(list(itertools.product(*axes)))  # [C, 5]
+    C = len(combos)
+    R = default_replicas(p, len(jax.devices()))
+    n_chunks = max(1, -(-C // R))
+    budget = p.time_limit if p.time_limit > 0 else 10.0
 
-    best_score = float("inf")
-    best_values = [a[0] for a in axes]
-    for combo in itertools.product(*axes):
-        res = _run_with(ctx, pb, combo)
-        score = _score(res, minimize)
+    internal = copy.copy(ctx)
+    internal.parameters = copy.copy(ctx.parameters)
+    internal.parameters.mode = ModeType.none
+    internal.parameters.time_limit = max(budget / n_chunks, 1.0)
+
+    scores = np.full(C, np.inf)
+    for ci in range(n_chunks):
+        chunk = combos[ci * R : (ci + 1) * R]
+        hp_vectors = {
+            name: chunk[:, j] for j, name in enumerate(_PARAM_NAMES)
+        }
+        res = optimize_compiled(internal, pb, hp_vectors=hp_vectors)
+        rb = getattr(res, "replica_best_values", None)
+        if rb is None:
+            continue
+        Cc = len(chunk)
+        for r, v in enumerate(rb):
+            c = ci * R + (r % Cc)
+            if v < scores[c]:
+                scores[c] = v
         ctx.notice(
-            "  - manual sweep {}: {}\n", [round(c, 6) for c in combo], score
+            "  - manual sweep chunk {}/{}: best so far {}\n",
+            ci + 1, n_chunks, float(np.min(scores)),
         )
-        if score < best_score:
-            best_score = score
-            best_values = list(combo)
 
+    best_values = combos[int(np.argmin(scores))]
+    ctx.notice(
+        "  - manual sweep best params: {}\n",
+        [round(float(v), 6) for v in best_values],
+    )
     return _run_with(ctx, pb, best_values)
 
 

@@ -80,6 +80,10 @@ class ReplicaState(NamedTuple):
     push_idx: jax.Array  # int32[R]
     best_remaining: jax.Array  # int32[R] — per-restart min
     restarts: jax.Array  # int32[R] — reference: m_call_number
+    best_value: jax.Array  # f[R] — lifetime best feasible score
+    # (minimize-oriented; +inf until the replica finds a feasible x).
+    # Survives restarts: with per-replica hyperparameters this is the
+    # per-combo quality readout of the on-device sweep (solver/meta.py).
 
 
 class OptState(NamedTuple):
@@ -222,6 +226,10 @@ def _evolve_impl(
                 x[hp["qa"]].astype(dtype) * x[hp["qb"]].astype(dtype),
             )
         found = remaining == 0  # [R]
+        score = value if minimize else -value
+        best_value = jnp.where(
+            found & (score < rs.best_value), score, rs.best_value
+        )
         it1 = rs.iter_i + 1
 
         # --- ANNEAL transitions (reference: :668-699) ---
@@ -386,6 +394,7 @@ def _evolve_impl(
             iter_i=iter_i, phase=phase, push_idx=push_idx,
             best_remaining=best_rem,
             restarts=rs.restarts + restart.astype(jnp.int32),
+            best_value=best_value,
         )
         return (
             OptState(new_rs, pop, state_key, order_code, state.sweeps + 1),
@@ -511,6 +520,13 @@ def evolve_sharded(
     rs_specs = ReplicaState(*[spec_last(a) for a in state.replicas])
     pop_specs = jax.tree_util.tree_map(spec_first, state.pop)
     state_specs = OptState(rs_specs, pop_specs, P(), P(), P())
+    # hyperparameters are replicated scalars, except per-replica sweep
+    # vectors (optimize_compiled's hp_vectors) which ride the replica axis
+    sweepable = ("theta", "delta", "kappa_min", "kappa_step")
+    hp_specs = {
+        k: P(axis) if (k in sweepable and getattr(v, "ndim", 0) == 1) else P()
+        for k, v in hp.items()
+    }
     fn = jax.shard_map(
         functools.partial(
             _evolve_impl,
@@ -522,7 +538,7 @@ def evolve_sharded(
         ),
         mesh=mesh,
         in_specs=(
-            rep(cp), P(), P(), P(), P(), P(), rep(hp), state_specs, P(),
+            rep(cp), P(), P(), P(), P(), P(), hp_specs, state_specs, P(),
         ),
         out_specs=state_specs,
         check_vma=False,
@@ -610,8 +626,19 @@ def _budget_loop(
     return state
 
 
-def optimize_compiled(ctx: Context, pb: Problem) -> Result:
-    """reference: optimize_problem (itm-optimizer-common.hpp:776-908)."""
+def optimize_compiled(
+    ctx: Context, pb: Problem, hp_vectors: Optional[dict] = None
+) -> Result:
+    """reference: optimize_problem (itm-optimizer-common.hpp:776-908).
+
+    ``hp_vectors`` (solver/meta.py): optional per-replica hyperparameter
+    vectors for the on-device sweep axis — keys among {"theta", "delta",
+    "kappa_min", "kappa_step", "init_policy_random"}, each a 1-D array of
+    any length C; entries tile cyclically onto the R replica lanes
+    (replica r runs combo r % C). The returned Result then carries
+    ``replica_best_values`` (minimize-oriented [R] scores, +inf = that
+    replica never found a feasible x) so the caller can score combos.
+    SURVEY.md §2.9: "the sweep axis is just another vmap dimension"."""
     t0 = time.monotonic()
     params = ctx.parameters
     minimize = pb.type == ObjectiveType.minimize
@@ -662,7 +689,11 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         mesh = make_mesh(devices)
     R = default_replicas(params, len(devices))
     block_size = params.block_size
-    if params.thread <= 0 and jax.default_backend() != "cpu":
+    if (
+        params.thread <= 0
+        and jax.default_backend() != "cpu"
+        and hp_vectors is None  # meta callers must be able to predict R
+    ):
         # grow the per-chip replica batch to the largest the fused Pallas
         # sweep supports: G = R/128 sublane tiles feed the VPU, and G=8
         # fills native (8, 128) f32 tiles — measured 2.03M replica-sweeps/s
@@ -829,6 +860,20 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
             [q.factor for q in pb.objective.qelements], dtype
         )
 
+    # per-replica hyperparameter sweep axis (see docstring): combos tile
+    # cyclically onto the replica lanes
+    hp_r: dict = {}
+    if hp_vectors:
+        allowed = ("theta", "delta", "kappa_min", "kappa_step",
+                   "init_policy_random")
+        for k, v in hp_vectors.items():
+            if k not in allowed:
+                raise ValueError(f"hp_vectors key {k!r} not sweepable")
+            hp_r[k] = np.resize(np.asarray(v, np.float64), R)
+        for k in ("theta", "delta", "kappa_min", "kappa_step"):
+            if k in hp_r:
+                hp[k] = jnp.asarray(hp_r[k], dtype)
+
     # replica init: half the replicas start from a fresh all-zeros x plus
     # the reinit mutation, exactly like the reference's optimize threads
     # (bit_array zero-ctor bit-array.hpp:60-66 + reinit's mutation at the
@@ -881,12 +926,21 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
             np.int32
         )
         x0_np[:, n:] = 0
+    if "init_policy_random" in hp_r:
+        # per-replica init policy: probability of a Bernoulli(0.5) start
+        # instead of the population/zero start (reference semantics of
+        # init_policy_random, itm-common.hpp:269-282)
+        use_rand = rng.random(R) < hp_r["init_policy_random"]
+        rand_x = (rng.random((R, cp.n)) < 0.5).astype(np.int32)
+        rand_x[:, n:] = 0
+        x0_np = np.where(use_rand[:, None], rand_x, x0_np)
     x0 = jnp.asarray(x0_np).T  # [n, R]
     viol0 = violated_mask(cp, x0)
     # first ladder rung (reference reinit's first call bumps kappa_append
     # before the first inner run)
     append0 = params.init_kappa_improve_start + params.init_kappa_improve_increase
-    kappa0 = params.kappa_min + (params.kappa_max - params.kappa_min) * (
+    kmin0 = hp_r.get("kappa_min", params.kappa_min)
+    kappa0 = kmin0 + (params.kappa_max - kmin0) * (
         append0 if append0 < params.init_kappa_improve_stop else 0.0
     )
     order_code = common.ORDER_CODES.get(params.order, 0)
@@ -899,14 +953,15 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         pi=jnp.zeros((cp.m, R), dtype),
         S=jnp.zeros((cp.n, R), dtype),
         viol=viol0,
-        kappa=jnp.full((R,), kappa0, dtype),
-        kappa_start=jnp.full((R,), kappa0, dtype),
+        kappa=jnp.broadcast_to(jnp.asarray(kappa0, dtype), (R,)),
+        kappa_start=jnp.broadcast_to(jnp.asarray(kappa0, dtype), (R,)),
         kappa_append=jnp.full((R,), append0, dtype),
         iter_i=jnp.zeros((R,), jnp.int32),
         phase=jnp.zeros((R,), jnp.int32),
         push_idx=jnp.zeros((R,), jnp.int32),
         best_remaining=jnp.full((R,), INT_MAX, jnp.int32),
         restarts=jnp.zeros((R,), jnp.int32),
+        best_value=jnp.full((R,), jnp.inf, dtype),
     )
     if mesh is not None:
         # every device gets a full local population (global [D*P, ...],
@@ -1008,6 +1063,12 @@ def optimize_compiled(ctx: Context, pb: Problem) -> Result:
         ret.status = ResultStatus.limit_reached
     ret.remaining_constraints = rem0
     ret.loop = int(state.sweeps)
+    if hp_vectors is not None:
+        # per-replica quality readout for the meta-optimizers
+        # (minimize-oriented scores; +inf = no feasible found)
+        ret.replica_best_values = np.asarray(
+            state.replicas.best_value, np.float64
+        )
 
     def to_solution(i: int) -> Solution:
         xi = np.asarray(pop.x[i])[:n]

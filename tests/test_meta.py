@@ -84,3 +84,45 @@ def test_optimize_resumes_from_checkpoint(tmp_path):
     assert is_valid_solution(PB, r2)
     # the resumed run can only match or improve the incumbent
     assert r2.solutions[-1].value <= r1.solutions[-1].value
+
+
+def test_manual_grid_on_device_batch():
+    """The 5-dim manual grid runs as per-replica hp vectors: a grid_len=2
+    sweep (32 combos) finishes within ONE wall budget on the replica batch
+    axis (VERDICT r2 item 5), and the per-replica score readout routes
+    back to combos."""
+    import time
+
+    import baryonyx_tpu.solver.meta as meta
+
+    ctx = make_ctx(time_limit=2.0, thread=16)
+    t0 = time.monotonic()
+    r = meta.manual_optimize(ctx, PB, grid_len=2)
+    wall = time.monotonic() - t0
+    assert r.status == bx.ResultStatus.success
+    assert is_valid_solution(PB, r)
+    # 32 combos on 16 replicas = 2 chunks + final rerun; nothing remotely
+    # like 32 sequential optimizes (allow compile slack)
+    assert wall < 120
+
+
+def test_hp_vectors_score_readout():
+    """optimize_compiled(hp_vectors=...) returns per-replica best scores
+    aligned with the cyclic combo tiling."""
+    from baryonyx_tpu.preprocess.fixing import unpreprocess
+    from baryonyx_tpu.solver.optimize import optimize_compiled
+
+    ctx = make_ctx(time_limit=1.5, thread=8)
+    pb = unpreprocess(ctx, PB)
+    hp_vectors = {
+        "theta": np.array([0.3, 0.6]),
+        "delta": np.array([0.01, 0.002]),
+        "kappa_min": np.array([0.0, 0.05]),
+        "kappa_step": np.array([1e-3, 1e-4]),
+        "init_policy_random": np.array([0.2, 0.8]),
+    }
+    r = optimize_compiled(ctx, pb, hp_vectors=hp_vectors)
+    rb = r.replica_best_values
+    assert rb.shape == (8,)
+    # this easy cover instance: every combo finds something feasible
+    assert np.isfinite(rb).any()

@@ -104,6 +104,7 @@ def test_sharded_matches_single_device_contract():
         push_idx=jnp.zeros((R,), jnp.int32),
         best_remaining=jnp.full((R,), INT_MAX, jnp.int32),
         restarts=jnp.zeros((R,), jnp.int32),
+        best_value=jnp.full((R,), jnp.inf, dtype),
     )
     D = len(jax.devices())
     pop = Population(  # per-device local populations, sharded dim 0

@@ -9,6 +9,7 @@ battery plus throughput via scripts/psweep_check.py and
 test_psweep_invariants below.
 """
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -231,3 +232,48 @@ def test_psweep_invariants():
             S=S, S_fresh=jnp.asarray(it % 16 != 0), minimize=True,
         )
     assert int(jnp.sum((rem == 0).astype(jnp.int32))) > 0
+
+
+def test_per_replica_hp_routing():
+    """delta/theta accept per-replica [R] vectors (the on-device
+    hyperparameter-sweep axis, VERDICT r2 item 5): lanes of a mixed run
+    must bit-match the corresponding scalar runs, in both the jnp sweep
+    and the interpreted Pallas kernel."""
+    from baryonyx_tpu.ops import psweep as pw
+    from baryonyx_tpu.ops.sweep import sweep
+
+    cp, cost = _compiled_scp(30, 120, 0.07, seed=9)
+    kplan = pw.plan(cp, R, jnp.float32, 8)
+    Bb = kplan.Bb
+    kappa = jnp.full((R,), 0.12, jnp.float32)
+    amp = jnp.zeros((R,), jnp.float32)
+    half = R // 2
+    mix_d = jnp.where(jnp.arange(R) < half, 0.02, 0.005).astype(jnp.float32)
+    mix_t = jnp.where(jnp.arange(R) < half, 0.6, 0.3).astype(jnp.float32)
+
+    for impl in ("jnp", "pallas"):
+        def run(delta, theta):
+            x, P, pi, sched, order = _state(cp, seed=4)
+            fn = (
+                functools.partial(pw.psweep, interpret=True)
+                if impl == "pallas"
+                else sweep
+            )
+            out = fn(
+                cp, x, P, pi, cost, sched, order, kappa,
+                jnp.asarray(delta), jnp.asarray(theta),
+                jax.random.key(3), amp, minimize=True, block_size=Bb,
+                S=None, S_fresh=jnp.asarray(False),
+            )
+            return [np.asarray(o) for o in out[:4]]  # x, P, pi, S
+
+        a = run(jnp.float32(0.02), jnp.float32(0.6))
+        b = run(jnp.float32(0.005), jnp.float32(0.3))
+        mixed = run(mix_d, mix_t)
+        # x (selections) must match lane-exactly; float state to ~1 ulp
+        # (XLA fuses broadcast [R] operands differently than scalars)
+        np.testing.assert_array_equal(mixed[0][..., :half], a[0][..., :half])
+        np.testing.assert_array_equal(mixed[0][..., half:], b[0][..., half:])
+        for oa, ob, om in zip(a[1:], b[1:], mixed[1:]):
+            np.testing.assert_allclose(om[..., :half], oa[..., :half], atol=1e-5)
+            np.testing.assert_allclose(om[..., half:], ob[..., half:], atol=1e-5)
