@@ -53,4 +53,5 @@ def shard_opt_state(state, mesh: Mesh):
         replicated(state.key),
         replicated(state.order_code),
         replicated(state.sweeps),
+        replicated(state.flips),
     )

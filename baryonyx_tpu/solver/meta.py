@@ -206,9 +206,11 @@ def _annoying_variable(res: Result, pb: Problem) -> int:
     """Pick the split variable. The reference reads
     ``result.annoying_variable``, which its solvers never set (declared
     core:740, read only by branch-optimizer.cpp:155-168, always 0 —
-    SURVEY.md section 2.7 flags this). Here: the unfixed variable with the
-    highest constraint degree, a deterministic stand-in until per-variable
-    flip statistics are tracked in-kernel."""
+    SURVEY.md section 2.7 flags this). Here the optimizer DOES measure it:
+    ``OptState.flips`` counts sweep-induced per-variable bit flips across
+    all replicas (solver/optimize.py), and its argmax arrives on the
+    result. Fallback when the counter never fired: highest constraint
+    degree."""
     degree: dict[int, int] = {}
     for _, cst in pb.all_constraints():
         for el in cst.elements:

@@ -63,6 +63,7 @@ from baryonyx_tpu.solver.population import (
 from baryonyx_tpu.solver.solve import _finalize
 
 PHASE_ANNEAL, PHASE_PUSH, PHASE_PUSH_ITER = 0, 1, 2
+FLIP_DECAY = 0.9  # per host chunk (see _evolve_impl)
 INT_MAX = 2**31 - 1
 
 
@@ -92,6 +93,10 @@ class OptState(NamedTuple):
     key: jax.Array
     order_code: jax.Array  # int32 — shared scheduling policy
     sweeps: jax.Array  # int32 — total evolution steps executed
+    flips: jax.Array  # f32[n] — decayed per-variable flip counter summed
+    # over replicas: the in-kernel statistic behind Result.annoying_variable
+    # (the reference declares the field but never computes it — core:740,
+    # SURVEY.md §2.7; branch mode splits on its argmax, meta.py)
 
 
 def _evolve_impl(
@@ -226,6 +231,11 @@ def _evolve_impl(
                 x[hp["qa"]].astype(dtype) * x[hp["qb"]].astype(dtype),
             )
         found = remaining == 0  # [R]
+        # per-variable instability: count sweep-induced bit flips summed
+        # over replicas (before any restart reseeding below)
+        flips = state.flips + jnp.sum(
+            (x != rs.x).astype(jnp.float32), axis=1
+        )
         score = value if minimize else -value
         best_value = jnp.where(
             found & (score < rs.best_value), score, rs.best_value
@@ -397,7 +407,9 @@ def _evolve_impl(
             best_value=best_value,
         )
         return (
-            OptState(new_rs, pop, state_key, order_code, state.sweeps + 1),
+            OptState(
+                new_rs, pop, state_key, order_code, state.sweeps + 1, flips
+            ),
             None,
         )
 
@@ -413,9 +425,17 @@ def _evolve_impl(
         st, _ = one_step(st, None)
         return st, i + 1
 
+    flips0 = state.flips
     state, _ = jax.lax.while_loop(
         cond, body, (state, jnp.asarray(0, jnp.int32))
     )
+    # exponential decay per chunk keeps the counter biased to recent
+    # instability; in-loop accumulation stays linear so the per-device
+    # contributions psum exactly below
+    flip_delta = state.flips - flips0
+    if axis_name is not None:
+        flip_delta = jax.lax.psum(flip_delta, axis_name)
+    state = state._replace(flips=FLIP_DECAY * flips0 + flip_delta)
 
     if axis_name is not None:
         # --- once-per-chunk population exchange over ICI -------------------
@@ -519,7 +539,7 @@ def evolve_sharded(
 
     rs_specs = ReplicaState(*[spec_last(a) for a in state.replicas])
     pop_specs = jax.tree_util.tree_map(spec_first, state.pop)
-    state_specs = OptState(rs_specs, pop_specs, P(), P(), P())
+    state_specs = OptState(rs_specs, pop_specs, P(), P(), P(), P())
     # hyperparameters are replicated scalars, except per-replica sweep
     # vectors (optimize_compiled's hp_vectors) which ride the replica axis
     sweepable = ("theta", "delta", "kappa_min", "kappa_step")
@@ -975,7 +995,8 @@ def optimize_compiled(
             hash=jnp.tile(pop.hash, (D,)),
         )
     state = OptState(
-        rs, pop, key, jnp.asarray(order_code, jnp.int32), jnp.asarray(0, jnp.int32)
+        rs, pop, key, jnp.asarray(order_code, jnp.int32),
+        jnp.asarray(0, jnp.int32), jnp.zeros((cp.n,), jnp.float32)
     )
     if mesh is not None:
         from baryonyx_tpu.parallel.mesh import shard_opt_state
@@ -1063,6 +1084,10 @@ def optimize_compiled(
         ret.status = ResultStatus.limit_reached
     ret.remaining_constraints = rem0
     ret.loop = int(state.sweeps)
+    fl = np.asarray(state.flips)[:n]
+    if fl.size and fl.max() > 0:
+        # the measured statistic the reference never computes (core:740)
+        ret.annoying_variable = int(np.argmax(fl))
     if hp_vectors is not None:
         # per-replica quality readout for the meta-optimizers
         # (minimize-oriented scores; +inf = no feasible found)

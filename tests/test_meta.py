@@ -126,3 +126,46 @@ def test_hp_vectors_score_readout():
     assert rb.shape == (8,)
     # this easy cover instance: every combo finds something feasible
     assert np.isfinite(rb).any()
+
+
+def test_annoying_variable_is_measured_not_degree():
+    """The flip counter finds the genuinely contested variables (a
+    contradiction-cover group that can never settle), NOT the
+    highest-degree decoy that sits in trivially-satisfied rows and never
+    flips (VERDICT r2 item 8; the reference never computes the statistic,
+    core:740)."""
+    from baryonyx_tpu.core.context import make_context
+    from baryonyx_tpu.preprocess.fixing import unpreprocess
+    from baryonyx_tpu.solver.meta import _annoying_variable
+    from baryonyx_tpu.solver.optimize import optimize_compiled
+
+    # vars x0..x9: one contradictory cover pair (always >=1 row violated,
+    # constant flipping). var y (index 10) + z_i: y in 20 trivial rows
+    # "y + z_i >= 0" -> max degree but never violated, never flips.
+    lines = ["minimize", "obj: " + " + ".join(
+        [f"x{j}" for j in range(10)] + ["y"] + [f"z{i}" for i in range(20)]
+    ), "subject to"]
+    lines.append("ca: " + " + ".join(f"x{j}" for j in range(10)) + " >= 6")
+    lines.append("cb: " + " + ".join(f"x{j}" for j in range(9)) + " <= 2")
+    for i in range(20):
+        lines.append(f"t{i}: y + z{i} >= 0")
+    lines.append("binary")
+    lines.append(" ".join([f"x{j}" for j in range(10)] + ["y"]
+                          + [f"z{i}" for i in range(20)]))
+    lines.append("end")
+    ctx = make_ctx(time_limit=1.5, thread=8)
+    pb = unpreprocess(ctx, bx.parse_lp("\n".join(lines)))
+    names = pb.vars.names
+    r = optimize_compiled(ctx, pb)
+    measured = r.annoying_variable
+    assert names[measured].startswith("x"), (
+        f"measured split var {names[measured]} should be a contested x"
+    )
+    # degree heuristic alone would pick the decoy y
+    degree = {}
+    for _, cst in pb.all_constraints():
+        for el in cst.elements:
+            degree[el.variable_index] = degree.get(el.variable_index, 0) + 1
+    assert names[max(degree, key=degree.get)] == "y"
+    # and the branch-mode selector prefers the measured statistic
+    assert _annoying_variable(r, pb) == measured

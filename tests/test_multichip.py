@@ -116,7 +116,7 @@ def test_sharded_matches_single_device_contract():
     state = shard_opt_state(
         OptState(
             rs, pop, jax.random.key(5), jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.zeros((n,), jnp.float32),
         ),
         mesh,
     )
