@@ -310,6 +310,21 @@ def make_order(
         return jnp.mean(pi, axis=1) if pi.ndim == 2 else pi
 
     if static_policy is not None and static_policy != ConstraintOrder.cycle:
+        # Invariant (trace-time): the runtime order_code only ever diverges
+        # from the static policy under `cycle` (the only code path that
+        # advances it, solver/optimize.py). A caller mixing a non-cycle
+        # static_policy with a foreign order_code — e.g. state restored
+        # from a cycle run — would silently get the static schedule while
+        # downstream `process_all` logic keys off order_code, so refuse.
+        if order_code is not None and not isinstance(
+            order_code, jax.core.Tracer
+        ):
+            expect = ORDER_CODES.get(static_policy, 0)
+            assert int(order_code) == expect, (
+                f"order_code {int(order_code)} inconsistent with static "
+                f"policy {static_policy} (expected {expect}); was this "
+                "state produced under ConstraintOrder.cycle?"
+            )
         branch = {
             ConstraintOrder.none: lambda: iota,
             ConstraintOrder.reversing: lambda: iota[::-1],

@@ -83,20 +83,25 @@ def ref_run(lp: str, args, timeout: float, count: bool = False):
 
 def our_run(lp: str, budget: float):
     """Run our CLI (TPU). Internal time budget = budget; wall includes
-    compile, which we report separately."""
+    compile (first-touch XLA/Mosaic compiles of a big new shape through
+    the axon tunnel run 10-30 min), which we report separately. A timeout
+    records a null result instead of killing the harness."""
     t0 = time.perf_counter()
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "baryonyx_tpu.cli", "--optimize",
-            "-p", f"time-limit:{budget}", lp,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=budget * 4 + 1500,
-        cwd=REPO,
-    )
+    try:
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "baryonyx_tpu.cli", "--optimize",
+                "-p", f"time-limit:{budget}", lp,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=budget * 4 + 3600,
+            cwd=REPO,
+        )
+        out = r.stdout + r.stderr
+    except subprocess.TimeoutExpired:
+        out = ""
     wall = time.perf_counter() - t0
-    out = r.stdout + r.stderr
     value = None
     m = re.search(r"Objective value: (-?[\d.e+]+)", out)
     if m:
@@ -206,6 +211,11 @@ def main():
                 "ours_wall_s": round(ours["wall"], 2) if ours["wall"] else None,
             })
             print(json.dumps(rows[-1]), flush=True)
+            # incremental write so a crashed/timed-out instance doesn't
+            # lose the measurements before it
+            result["quality"] = rows
+            with open(os.path.join(REPO, "H2H.json"), "w") as fh:
+                json.dump(result, fh, indent=1)
         result["quality"] = rows
 
         # reference-protocol CSV (bench/harness.py format)
