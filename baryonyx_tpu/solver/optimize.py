@@ -733,13 +733,33 @@ def optimize_compiled(
                 break
     P_size = params.init_population_size
 
+    # vectorized host oracle for the population init: flat (factor, var)
+    # element arrays + reduceat per row — O(nnz) numpy per member instead
+    # of a Python loop over every constraint element
+    _ef = np.concatenate(
+        [[el.factor for el in cst.elements] for cst in constraints]
+    ).astype(np.float64)
+    _ev = np.concatenate(
+        [[el.variable_index for el in cst.elements] for cst in constraints]
+    ).astype(np.int64)
+    _rptr = np.cumsum([0] + [len(c_.elements) for c_ in constraints])[:-1]
+    _rmin = np.array([c_.min for c_ in constraints], np.float64)
+    _rmax = np.array([c_.max for c_ in constraints], np.float64)
+    _qa = np.array(
+        [q.variable_index_a for q in pb.objective.qelements], np.int64
+    )
+    _qb = np.array(
+        [q.variable_index_b for q in pb.objective.qelements], np.int64
+    )
+    _qf = np.array([q.factor for q in pb.objective.qelements], np.float64)
+
     def evaluate(x: np.ndarray):
-        value = common.objective_value(pb, x)
-        rem = 0
-        for cst in constraints:
-            s = sum(el.factor * int(x[el.variable_index]) for el in cst.elements)
-            if not (cst.min <= s <= cst.max):
-                rem += 1
+        xf = x[:n].astype(np.float64)
+        value = float(cost_orig_real @ xf) + pb.objective.value
+        if len(_qf):
+            value += float(_qf @ (xf[_qa] * xf[_qb]))
+        act = np.add.reduceat(_ef * xf[_ev], _rptr)
+        rem = int(np.sum((act < _rmin) | (act > _rmax)))
         return value, rem
 
     pop_x, pop_val, pop_rem = init_population_host(
