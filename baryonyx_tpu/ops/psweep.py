@@ -126,6 +126,9 @@ def _vmem_bytes(cp: CompiledProblem, Gc: int, Bb: int, big: bool) -> int:
         + 2 * Bb * cp.Kr * tile  # p_blk + keys_blk
         + 5 * Bb * tile  # thr/d/dpi block scratch (+ slack)
         + 4 * tile  # kappa/amp/delta/theta
+        # batched phase-A loop carry: per-row running stats live across
+        # the whole slot loop (cnt, J_bot mins, J_top maxes, mx_np, mn_p)
+        + Bb * (3 + cp.J_bot + cp.J_top) * tile
     )
     return v
 
@@ -353,126 +356,157 @@ def _make_kernel(
                             tf_hbm.at[k], tf_blk.at[b], sem_tab.at[b, 1]
                         ).start()
 
-            # ---- phase A: decisions against block-entry S
+            # ---- phase A: decisions against block-entry S.
+            # All Bb rows are interleaved in ONE slot loop: each iteration
+            # advances every row's running statistics by one slot. The
+            # per-row chains are independent, so the VPU pipelines Bb
+            # loads/FMAs per iteration instead of stalling on one row's
+            # serial dependency — the win that matters at Gc=1 (big
+            # instances), where each op touches a single (1, 128) tile and
+            # per-op latency dominates a row-sequential loop. Per-row math
+            # is unchanged (Jacobi-within-block semantics identical).
+            ks = [order_ref[base + b] for b in range(Bb)]
+            kc = [jnp.minimum(k, m - 1) for k in ks]  # clamped meta reads
             for b in range(Bb):
-                k = order_ref[base + b]
-
-                @pl.when(k < m)
-                def _():
-                    bmin = rowmeta_ref[k, 0]
-                    bmax = rowmeta_ref[k, 1]
-                    csz = rowmeta_ref[k, 2]
-                    rsz = rowmeta_ref[k, 3]
-                    iseq = rowmeta_ref[k, 4]
-                    valid = sched_v[k] > 0  # [Gc, 128]
-
+                @pl.when(ks[b] < m)
+                def _(b=b):
                     pltpu.make_async_copy(
-                        P_hbm.at[k, :, gsl], p_blk.at[b], sem_in.at[b]
+                        P_hbm.at[ks[b], :, gsl], p_blk.at[b], sem_in.at[b]
                     ).wait()
                     if big:
                         pltpu.make_async_copy(
-                            ti_hbm.at[k], ti_blk.at[b], sem_tab.at[b, 0]
+                            ti_hbm.at[ks[b]], ti_blk.at[b], sem_tab.at[b, 0]
                         ).wait()
                         pltpu.make_async_copy(
-                            tf_hbm.at[k], tf_blk.at[b], sem_tab.at[b, 1]
+                            tf_hbm.at[ks[b]], tf_blk.at[b], sem_tab.at[b, 1]
                         ).wait()
 
-                    def slot_vf(s):
-                        if big:
-                            sc, sl = s // LANE, s % LANE
-                            j = ti_blk[b, sc, sl]
-                            cj = tf_blk[b, sc, sl]
-                            af = None if unit else ti_blk[b, C + sc, sl].astype(f32)
-                        else:
-                            j = rowvars_ref[k, s]
-                            cj = cost_ref[j]
-                            af = None if unit else rowfac_ref[k, s].astype(f32)
-                        return j, cj, af
+            # rsz = 0 disables padding rows (k >= m): their slots never
+            # run and their scratch writes are ignored by phase B
+            rszs = [
+                jnp.where(ks[b] < m, rowmeta_ref[kc[b], 3], 0)
+                for b in range(Bb)
+            ]
+            max_rsz = rszs[0]
+            for b in range(1, Bb):
+                max_rsz = jnp.maximum(max_rsz, rszs[b])
 
-                    # slot loop runs only the row's real length (rows
-                    # average well under Kr); stats carried through the
-                    # loop, keys written to VMEM for phase B's threshold
-                    # test
-                    def slot_stats(s, carry):
-                        cnt, bots, tops, mx_np, mn_p = carry
-                        j, cj, af = slot_vf(s)
-                        Sj = S_v[j]  # [Gc, 128]
-                        pr = p_blk[b, s]
-                        if unit:
-                            r = cj - (Sj + (theta - 1.0) * pr)
-                        else:
-                            r = cj - (Sj + af * (theta - 1.0) * pr)
-                            r = jnp.where(af < 0, -r, r)
-                        r = r + amp * cj
-                        sv = r if minimize else -r
-                        u = draw_u(k, s)
-                        sv = sv * (1.0 + (u - 0.5) * 2e-6) + (u - 0.5) * (
-                            delta * 1e-3
-                        )
-                        keys_blk[b, s] = sv
-                        cnt = cnt + (sv <= 0).astype(jnp.int32)
-                        bots = _insert_min(bots, sv)
-                        tops = _insert_max(tops, sv)
-                        mx_np = jnp.maximum(mx_np, jnp.where(sv <= 0, sv, -inf))
-                        mn_p = jnp.minimum(mn_p, jnp.where(sv > 0, sv, inf))
-                        return cnt, bots, tops, mx_np, mn_p
+            def slot_vf(b, s):
+                if big:
+                    sc, sl = s // LANE, s % LANE
+                    # clamp: dead slots / stale scratch may hold garbage
+                    j = jnp.clip(ti_blk[b, sc, sl], 0, n - 1)
+                    cj = tf_blk[b, sc, sl]
+                    af = None if unit else ti_blk[b, C + sc, sl].astype(f32)
+                else:
+                    j = rowvars_ref[kc[b], s]
+                    cj = cost_ref[j]
+                    af = None if unit else rowfac_ref[kc[b], s].astype(f32)
+                return j, cj, af
 
-                    cnt, bots, tops, mx_np, mn_p = jax.lax.fori_loop(
-                        0,
-                        rsz,
-                        slot_stats,
-                        (
-                            jnp.zeros((Gc, LANE), jnp.int32),
-                            [jnp.full((Gc, LANE), inf, f32) for _ in range(J_bot)],
-                            [jnp.full((Gc, LANE), -inf, f32) for _ in range(J_top)],
-                            jnp.full((Gc, LANE), -inf, f32),
-                            jnp.full((Gc, LANE), inf, f32),
-                        ),
-                    )
-
-                    # selection (see ops/sweep.py)
-                    lo = bmin + csz
-                    hi = jnp.minimum(bmax + csz, rsz)
-                    sel_eq = jnp.minimum(bmin + csz, rsz) - 1
-                    sel_ineq = jnp.clip(cnt, lo, hi) - 1
-                    selected = jnp.where(iseq > 0, sel_eq, sel_ineq)
-                    unclipped = (iseq == 0) & (selected + 1 == cnt)
-                    bot_ok = (selected >= 0) & (selected < J_bot)
-                    sv_sel = jnp.where(
-                        unclipped,
-                        mx_np,
-                        jnp.where(
-                            bot_ok,
-                            _pick(bots, selected),
-                            _pick(tops, rsz - 1 - selected),
-                        ),
-                    )
-                    sv_sel1 = jnp.where(
-                        unclipped,
-                        mn_p,
-                        jnp.where(
-                            selected + 1 < J_bot,
-                            _pick(bots, selected + 1),
-                            _pick(tops, rsz - 2 - selected),
-                        ),
-                    )
-                    if minimize:
-                        Rs_sel, Rs_sel1, Rs0 = sv_sel, sv_sel1, bots[0]
+            def slot_stats(s, carry):
+                out = []
+                for b in range(Bb):
+                    cnt, bots, tops, mx_np, mn_p = carry[b]
+                    live = s < rszs[b]  # scalar: this row still has slots
+                    j, cj, af = slot_vf(b, s)
+                    Sj = S_v[j]  # [Gc, 128]
+                    pr = p_blk[b, s]
+                    if unit:
+                        r = cj - (Sj + (theta - 1.0) * pr)
                     else:
-                        Rs_sel, Rs_sel1, Rs0 = -sv_sel, -sv_sel1, -bots[0]
-                    case_none = selected < 0
-                    case_all = selected + 1 >= rsz
-                    d = delta + kp * jnp.where(
-                        case_none,
-                        Rs0 * 0.5,
-                        jnp.where(case_all, Rs_sel * 1.5, Rs_sel1 - Rs_sel),
+                        r = cj - (Sj + af * (theta - 1.0) * pr)
+                        r = jnp.where(af < 0, -r, r)
+                    r = r + amp * cj
+                    sv = r if minimize else -r
+                    u = draw_u(ks[b], s)
+                    sv = sv * (1.0 + (u - 0.5) * 2e-6) + (u - 0.5) * (
+                        delta * 1e-3
                     )
-                    dpi = jnp.where(
-                        case_none | case_all, 0.0, (Rs_sel + Rs_sel1) * 0.5
-                    )
-                    d_blk[b] = d
-                    dpi_blk[b] = jnp.where(valid, dpi, 0.0)
-                    thr_blk[b] = jnp.where(case_none, -inf, sv_sel)
+                    keys_blk[b, s] = sv  # dead-slot writes never read back
+                    out.append((
+                        jnp.where(live, cnt + (sv <= 0).astype(jnp.int32), cnt),
+                        [jnp.where(live, nb, ob)
+                         for nb, ob in zip(_insert_min(bots, sv), bots)],
+                        [jnp.where(live, nt, ot)
+                         for nt, ot in zip(_insert_max(tops, sv), tops)],
+                        jnp.where(
+                            live,
+                            jnp.maximum(mx_np, jnp.where(sv <= 0, sv, -inf)),
+                            mx_np,
+                        ),
+                        jnp.where(
+                            live,
+                            jnp.minimum(mn_p, jnp.where(sv > 0, sv, inf)),
+                            mn_p,
+                        ),
+                    ))
+                return tuple(out)
+
+            init_row = (
+                jnp.zeros((Gc, LANE), jnp.int32),
+                [jnp.full((Gc, LANE), inf, f32) for _ in range(J_bot)],
+                [jnp.full((Gc, LANE), -inf, f32) for _ in range(J_top)],
+                jnp.full((Gc, LANE), -inf, f32),
+                jnp.full((Gc, LANE), inf, f32),
+            )
+            carry = jax.lax.fori_loop(
+                0, max_rsz, slot_stats, tuple(init_row for _ in range(Bb))
+            )
+
+            # selection per row (see ops/sweep.py); padding rows write
+            # garbage scratch that phase B never applies
+            for b in range(Bb):
+                cnt, bots, tops, mx_np, mn_p = carry[b]
+                bmin = rowmeta_ref[kc[b], 0]
+                bmax = rowmeta_ref[kc[b], 1]
+                csz = rowmeta_ref[kc[b], 2]
+                rsz = rszs[b]
+                iseq = rowmeta_ref[kc[b], 4]
+                valid = sched_v[kc[b]] > 0  # [Gc, 128]
+
+                lo = bmin + csz
+                hi = jnp.minimum(bmax + csz, rsz)
+                sel_eq = jnp.minimum(bmin + csz, rsz) - 1
+                sel_ineq = jnp.clip(cnt, lo, hi) - 1
+                selected = jnp.where(iseq > 0, sel_eq, sel_ineq)
+                unclipped = (iseq == 0) & (selected + 1 == cnt)
+                bot_ok = (selected >= 0) & (selected < J_bot)
+                sv_sel = jnp.where(
+                    unclipped,
+                    mx_np,
+                    jnp.where(
+                        bot_ok,
+                        _pick(bots, selected),
+                        _pick(tops, rsz - 1 - selected),
+                    ),
+                )
+                sv_sel1 = jnp.where(
+                    unclipped,
+                    mn_p,
+                    jnp.where(
+                        selected + 1 < J_bot,
+                        _pick(bots, selected + 1),
+                        _pick(tops, rsz - 2 - selected),
+                    ),
+                )
+                if minimize:
+                    Rs_sel, Rs_sel1, Rs0 = sv_sel, sv_sel1, bots[0]
+                else:
+                    Rs_sel, Rs_sel1, Rs0 = -sv_sel, -sv_sel1, -bots[0]
+                case_none = selected < 0
+                case_all = selected + 1 >= rsz
+                d = delta + kp * jnp.where(
+                    case_none,
+                    Rs0 * 0.5,
+                    jnp.where(case_all, Rs_sel * 1.5, Rs_sel1 - Rs_sel),
+                )
+                dpi = jnp.where(
+                    case_none | case_all, 0.0, (Rs_sel + Rs_sel1) * 0.5
+                )
+                d_blk[b] = d
+                dpi_blk[b] = jnp.where(valid, dpi, 0.0)
+                thr_blk[b] = jnp.where(case_none, -inf, sv_sel)
 
             # ---- phase B: apply row-by-row (later rows win x conflicts)
             for b in range(Bb):
