@@ -484,15 +484,43 @@ def solve_compiled(
     )
     budget_t0 = time.monotonic()
 
+    # per-row debug trace (reference: debug_logger, itm-common.hpp:
+    # 1496-1550, --debug → per-thread `name-<hash>.log` with every row
+    # update). Kernel internals (reduced costs, selection) live in device
+    # registers; the TPU-native trace granularity is per sweep: rows whose
+    # multiplier moved (= rows the sweep updated) with their pi delta and
+    # post-sweep violation flag, chunked to one sweep per dispatch.
+    debug_fh = None
+    chunk_len = params.chunk_size
+    if params.debug:
+        import os as _os
+
+        debug_path = f"baryonyx-debug-{_os.getpid()}.log"
+        debug_fh = open(debug_path, "w")
+        ctx.notice("- debug row trace: {}\n", debug_path)
+        chunk_len = 1
+        _prev_pi = np.asarray(st.pi[:, 0]).copy()
+
     # main annealed loop, in host-dispatched chunks
     timed_out = False
     while True:
         st = run_chunk(
             cp, cn, co, cc, hp, st,
-            jnp.asarray(params.chunk_size, jnp.int32),
+            jnp.asarray(chunk_len, jnp.int32),
             minimize=minimize, block_size=params.block_size,
             random_solver=use_random, order_policy=params.order,
         )
+        if debug_fh is not None:
+            pi0 = np.asarray(st.pi[:, 0])
+            viol0 = np.asarray(st.viol[:, 0])
+            dpi = pi0 - _prev_pi
+            loop_i = int(st.loop)
+            for k in np.nonzero((dpi != 0) | viol0)[0]:
+                debug_fh.write(
+                    f"sweep={loop_i} k={int(k)} pi={pi0[k]:.9g} "
+                    f"dpi={dpi[k]:.9g} violated={int(viol0[k])}\n"
+                )
+            _prev_pi = pi0.copy()
         if params.observer != ObserverType.none:
             observer.make_observation(
                 np.asarray(st.P[..., 0]), np.asarray(st.pi[:, 0]), int(st.loop)
@@ -526,6 +554,9 @@ def solve_compiled(
                 timed_out = True
                 break
         reason = STOP_FEASIBLE
+
+    if debug_fh is not None:
+        debug_fh.close()
 
     # status (reference: :125-169, :215-216)
     best_remaining = int(st.best_remaining[0])

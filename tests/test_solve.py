@@ -177,3 +177,35 @@ def test_cost_norms(norm):
 def test_init_policies(policy):
     pb = bx.parse_lp(random_assignment_lp(4, seed=17))
     solve_ok(pb, init_policy=policy)
+
+
+def test_debug_row_trace(tmp_path, monkeypatch):
+    """--debug writes a per-row update trace (reference: debug_logger,
+    itm-common.hpp:1496-1550): every traced line names a row whose
+    multiplier moved or that stayed violated, keyed by sweep."""
+    import glob
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    pb = bx.parse_lp(random_set_cover_lp(12, 40, 0.15, seed=4))
+    ctx = bx.make_context(0)
+    ctx.parameters.seed = 3
+    ctx.parameters.limit = 30
+    ctx.parameters.debug = True
+    # pure bastert start (all zeros on positive costs): every cover row
+    # begins violated, so the annealed loop actually sweeps
+    ctx.parameters.init_policy_random = 0.0
+    r = bx.solve(ctx, pb)
+    logs = glob.glob(str(tmp_path / "baryonyx-debug-*.log"))
+    assert logs, "debug trace file missing"
+    lines = open(logs[0]).read().splitlines()
+    assert lines, "trace is empty"
+    import re
+
+    pat = re.compile(
+        r"^sweep=\d+ k=\d+ pi=-?[\d.e+-]+ dpi=-?[\d.e+-]+ violated=[01]$"
+    )
+    assert all(pat.match(l) for l in lines[:50])
+    # rows mentioned must exist
+    ks = {int(l.split()[1].split("=")[1]) for l in lines}
+    assert max(ks) < 16  # m padded row count upper bound for 12 rows
