@@ -154,10 +154,20 @@ def nelder_mead_optimize(ctx: Context, raw: RawProblem) -> Result:
     budget_evals = NM_BUDGET_EVALS
     evals = [0]
 
+    # Each evaluation gets a slice of the caller's wall budget (plus one
+    # slice reserved for the final best-params rerun) instead of the full
+    # budget per eval — the reference runs a full optimize per NLopt
+    # evaluation under a separate 1 h cap (nlopt-optimizer.cpp:106-110),
+    # which multiplies the user's limit by the evaluation count.
+    total = p.time_limit if p.time_limit > 0 else 10.0
+    eval_ctx = copy.copy(ctx)
+    eval_ctx.parameters = copy.copy(ctx.parameters)
+    eval_ctx.parameters.time_limit = max(total / (budget_evals + 1), 0.5)
+
     def f(x) -> float:
         x = np.clip(x, _LOW, _UP)
         evals[0] += 1
-        return _score(_run_with(ctx, pb, x), minimize)
+        return _score(_run_with(eval_ctx, pb, x), minimize)
 
     # simplex init: x0 plus per-dimension nudges
     simplex = [x0]
