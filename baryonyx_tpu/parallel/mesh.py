@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -33,16 +34,34 @@ def shard_opt_state(state, mesh: Mesh):
     everything else replicates."""
     from baryonyx_tpu.solver.optimize import OptState, ReplicaState
 
+    # multi-process: device_put to a global (non-fully-addressable)
+    # sharding only accepts HOST data — every process materializes its
+    # local shards from the (identical) host value. Committed device
+    # arrays would need cross-process transfers, which device_put refuses.
+    multiproc = jax.process_count() > 1
+
+    def stage(x):
+        if multiproc and not isinstance(x, np.ndarray):
+            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                return jax.random.key_data(x), True
+            return np.asarray(x), False
+        return x, False
+
+    def put(x, spec):
+        x, was_key = stage(x)
+        out = jax.device_put(x, NamedSharding(mesh, spec))
+        if was_key:
+            out = jax.random.wrap_key_data(out)
+        return out
+
     def last_axis_sharded(x: jax.Array) -> jax.Array:
-        spec = P(*([None] * (x.ndim - 1) + ["r"]))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put(x, P(*([None] * (x.ndim - 1) + ["r"])))
 
     def first_axis_sharded(x: jax.Array) -> jax.Array:
-        spec = P(*(["r"] + [None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put(x, P(*(["r"] + [None] * (x.ndim - 1))))
 
     def replicated(x: jax.Array) -> jax.Array:
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        return put(x, P())
 
     rs = state.replicas
     new_rs = ReplicaState(*[last_axis_sharded(a) for a in rs])

@@ -591,6 +591,7 @@ def _budget_loop(
     params: SolverParameters,
     state: "OptState",
     run_evolve,
+    stats_fn,
     chunk: int,
     time_limit: float,
     sweep_budget: float,
@@ -607,16 +608,7 @@ def _budget_loop(
             t_chunk = time.monotonic()
             state = run_evolve(state, chunk)
             # one packed fetch synchronizes the chunk and feeds the callback
-            stats = np.asarray(
-                jnp.stack(
-                    [
-                        state.pop.remaining[0].astype(jnp.float64),
-                        state.pop.value[0].astype(jnp.float64),
-                        state.sweeps.astype(jnp.float64),
-                        jnp.sum(state.replicas.restarts).astype(jnp.float64),
-                    ]
-                )
-            )
+            stats = np.asarray(stats_fn(state))
             dt_chunk = time.monotonic() - t_chunk
             if dt_chunk < 0.35 and chunk < (1 << 14):
                 chunk = min(chunk * 4, 1 << 14)
@@ -634,8 +626,14 @@ def _budget_loop(
                 time.monotonic() - last_ckpt >= params.checkpoint_every
             ):
                 from baryonyx_tpu.checkpoint import save_population
+                from baryonyx_tpu.parallel.distributed import (
+                    gather_to_host,
+                    is_multiprocess,
+                )
 
-                save_population(params.checkpoint_path, state.pop)
+                host_pop = jax.tree_util.tree_map(gather_to_host, state.pop)
+                if not is_multiprocess() or jax.process_index() == 0:
+                    save_population(params.checkpoint_path, host_pop)
                 last_ckpt = time.monotonic()
             if (time.monotonic() - budget_t0) >= time_limit:
                 break
@@ -1061,6 +1059,48 @@ def optimize_compiled(
             sweep_budget,
         )
 
+    def _stats_stack(st):
+        return jnp.stack(
+            [
+                st.pop.remaining[0].astype(jnp.float64),
+                st.pop.value[0].astype(jnp.float64),
+                st.sweeps.astype(jnp.float64),
+                jnp.sum(st.replicas.restarts).astype(jnp.float64),
+            ]
+        )
+
+    if mesh is not None and jax.process_count() > 1:
+        # a raw index into a sharded global array is not addressable from
+        # every process; fetch through a replicated-output jit instead
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        stats_fn = jax.jit(
+            _stats_stack, out_shardings=NamedSharding(mesh, _P())
+        )
+    else:
+        stats_fn = _stats_stack
+
+    def _stats_stack(st):
+        return jnp.stack(
+            [
+                st.pop.remaining[0].astype(jnp.float64),
+                st.pop.value[0].astype(jnp.float64),
+                st.sweeps.astype(jnp.float64),
+                jnp.sum(st.replicas.restarts).astype(jnp.float64),
+            ]
+        )
+
+    if mesh is not None and jax.process_count() > 1:
+        # a raw index into a sharded global array is not addressable from
+        # every process; fetch through a replicated-output jit instead
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        stats_fn = jax.jit(
+            _stats_stack, out_shardings=NamedSharding(mesh, _P())
+        )
+    else:
+        stats_fn = _stats_stack
+
     last_ckpt = time.monotonic()
     # Warm the jit cache with a zero-length evolve so compilation is
     # excluded from the time budget exactly when it happens (warm caches
@@ -1077,12 +1117,16 @@ def optimize_compiled(
     # (itm-optimizer-common.hpp:836-857) without throttling the device.
     chunk = max(1, params.chunk_size)
     state = _budget_loop(
-        ctx, params, state, run_evolve, chunk, time_limit, sweep_budget,
-        budget_t0, last_ckpt,
+        ctx, params, state, run_evolve, stats_fn, chunk, time_limit,
+        sweep_budget, budget_t0, last_ckpt,
     )
 
     # extraction (reference: :869-900); best LAST to match Result.best
     pop = state.pop
+    if mesh is not None and jax.process_count() > 1:
+        from baryonyx_tpu.parallel.distributed import gather_to_host
+
+        pop = jax.tree_util.tree_map(gather_to_host, pop)
     if mesh is not None:
         # the global population is [D*P] device-local sorted shards; the
         # end-of-chunk exchange puts the fleet best in every shard, but a
@@ -1104,16 +1148,20 @@ def optimize_compiled(
         ret.status = ResultStatus.limit_reached
     ret.remaining_constraints = rem0
     ret.loop = int(state.sweeps)
-    fl = np.asarray(state.flips)[:n]
+    from baryonyx_tpu.parallel.distributed import gather_to_host as _g2h
+
+    fl = _g2h(state.flips)[:n]
     if fl.size and fl.max() > 0:
         # the measured statistic the reference never computes (core:740)
         ret.annoying_variable = int(np.argmax(fl))
     if hp_vectors is not None:
         # per-replica quality readout for the meta-optimizers
         # (minimize-oriented scores; +inf = no feasible found)
-        ret.replica_best_values = np.asarray(
-            state.replicas.best_value, np.float64
-        )
+        from baryonyx_tpu.parallel.distributed import gather_to_host
+
+        ret.replica_best_values = gather_to_host(
+            state.replicas.best_value
+        ).astype(np.float64)
 
     def to_solution(i: int) -> Solution:
         xi = np.asarray(pop.x[i])[:n]
