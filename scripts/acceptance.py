@@ -123,10 +123,65 @@ def run_capmo():
     }
 
 
+def reference_qap_cross_check(budget: float = 40.0, seeds=(1, 2, 3)):
+    """Run the reference binary (scripts/build_reference.sh output) on
+    small4 with the published test parameters, same budget, on THIS host —
+    the acceptance bar's 790-in-40s figure comes from the reference
+    author's machine, so the artifact records what the reference itself
+    achieves here for a fair comparison.
+
+    Note the reference test's kappa_max=10 is silently rejected by
+    context_set_solver_parameters (private.cpp:64-70 requires
+    kappa_max <= 1), so the defaults (0, 1e-3, 0.6) apply — our
+    SolverParameters.validated() replicates that quirk."""
+    import re
+    import subprocess
+
+    ref = "/tmp/bxref/build/app/baryonyx-0.5"
+    if not os.path.exists(ref):
+        return {"available": False}
+    out = []
+    for seed in seeds:
+        cmd = [
+            ref, "--optimize", "-q", f"-p", f"time-limit:{budget}",
+            "-p", "limit:-1", "-p", "theta:0.5", "-p", "delta:0.2",
+            "-p", "kappa-step:0.001", "-p", "alpha:0.0", "-p", "w:20",
+            "-p", "thread:2", "-p", f"seed:{seed}",
+            "-p", "pushes-limit:50", "-p", "pushing-k-factor:0.9",
+            "-p", "pushing-objective-amplifier:10",
+            "-p", "pushing-iteration-limit:50",
+            os.path.join(REF_TEST, "small4.lp"),
+        ]
+        try:
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=budget * 3 + 60
+            )
+        except subprocess.TimeoutExpired:
+            out.append({"seed": seed, "solved": False, "timeout": True})
+            continue
+        txt = r.stdout + r.stderr
+        m = re.search(r"Best solution found.*?([-0-9.]+)", txt)
+        rem = re.search(r"Constraint remaining: (\d+)", txt)
+        out.append({
+            "seed": seed,
+            "solved": m is not None,
+            "value": float(m.group(1)) if m else None,
+            "remaining": int(rem.group(1)) if rem else None,
+        })
+        print(json.dumps(out[-1]), flush=True)
+    return {"available": True, "budget_s": budget, "per_seed": out,
+            "any_solved": any(o["solved"] for o in out)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--qap-only", action="store_true",
+        help="update only the qap_small4 + reference cross-check sections "
+        "of an existing ACCEPTANCE_r{N}.json",
+    )
     args = ap.parse_args()
 
     result = {"backend": None, "quick": args.quick}
@@ -134,6 +189,26 @@ def main():
 
     result["backend"] = jax.default_backend()
     out_path = os.path.join(REPO, f"ACCEPTANCE_r{args.round:02d}.json")
+
+    if args.qap_only:
+        with open(out_path) as fh:
+            result = json.load(fh)
+        print("== QAP small4 exact optimum ==", flush=True)
+        result["qap_small4"] = run_qap()
+        print(json.dumps(result["qap_small4"]), flush=True)
+        print("== reference binary on this host (same bar) ==", flush=True)
+        result["qap_small4_reference_on_this_host"] = (
+            reference_qap_cross_check()
+        )
+        result["pass"] = bool(
+            result["capmo1"]["below_bound"]
+            and result["qap_small4"]["exact_optimum"]
+            and result["n_queens"]["all_solved"]
+        )
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(f"wrote {out_path}; PASS={result['pass']}")
+        return
 
     print("== capmo1 solve bound ==", flush=True)
     result["capmo1"] = run_capmo()
@@ -144,6 +219,7 @@ def main():
     print("== QAP small4 exact optimum ==", flush=True)
     result["qap_small4"] = run_qap()
     print(json.dumps(result["qap_small4"]), flush=True)
+    result["qap_small4_reference_on_this_host"] = reference_qap_cross_check()
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
 
