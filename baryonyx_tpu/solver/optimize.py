@@ -32,6 +32,7 @@ Deviations from the reference, on purpose:
 from __future__ import annotations
 
 import functools
+import os as _osmod
 import time
 from typing import NamedTuple, Optional
 
@@ -176,12 +177,17 @@ def _evolve_impl(
         )
         sched = rs.viol | is_push[None, :] | process_all  # [m, R]
 
-        sched_any = jnp.any(sched, axis=1)  # [m]
-        padded = jnp.concatenate([sched_any, jnp.zeros((1,), bool)])[
-            jnp.minimum(order, m)
-        ]
-        order2 = order[jnp.argsort(~padded, stable=True)]
-        n_rows = jnp.sum(padded.astype(jnp.int32))
+        if "compact" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+            order2 = order
+            n_rows = jnp.asarray(mp // B * B, jnp.int32)
+            sched_any = None
+        else:
+            sched_any = jnp.any(sched, axis=1)  # [m]
+            padded = jnp.concatenate([sched_any, jnp.zeros((1,), bool)])[
+                jnp.minimum(order, m)
+            ]
+            order2 = order[jnp.argsort(~padded, stable=True)]
+            n_rows = jnp.sum(padded.astype(jnp.int32))
 
         if cp.has_z:
             if random_solver:
@@ -223,7 +229,10 @@ def _evolve_impl(
         else:
             x, P, pi, S, viol, remaining = out
 
-        value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
+        if "value" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+            value = jnp.zeros((R,), dtype)
+        else:
+            value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
         if "qa" in hp:
             value = value + jnp.einsum(
                 "q,qr->r",
@@ -233,9 +242,12 @@ def _evolve_impl(
         found = remaining == 0  # [R]
         # per-variable instability: count sweep-induced bit flips summed
         # over replicas (before any restart reseeding below)
-        flips = state.flips + jnp.sum(
-            (x != rs.x).astype(jnp.float32), axis=1
-        )
+        if "flips" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+            flips = state.flips
+        else:
+            flips = state.flips + jnp.sum(
+                (x != rs.x).astype(jnp.float32), axis=1
+            )
         score = value if minimize else -value
         best_value = jnp.where(
             found & (score < rs.best_value), score, rs.best_value
@@ -280,10 +292,13 @@ def _evolve_impl(
         # step loop (see _evolve_impl's tail), matching the reference's
         # loose ~1 Hz coupling (itm-optimizer-common.hpp:836-857) instead
         # of round 2's [R, n] all-gather every sweep.
-        pop = batch_insert(
-            state.pop, cand_x, cand_value, cand_remaining, cand_mask, k_ins,
-            hash_weights, minimize,
-        )
+        if "insert" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+            pop = state.pop
+        else:
+            pop = batch_insert(
+                state.pop, cand_x, cand_value, cand_remaining, cand_mask, k_ins,
+                hash_weights, minimize,
+            )
 
         # --- reinit for restarting replicas (reference: :528-554) ---
         ladder = rs.kappa_append < hp["kappa_improve_stop"]
@@ -396,7 +411,8 @@ def _evolve_impl(
         ).astype(jnp.int32)
 
         # restarting replicas recompute their violated set from the new x
-        viol = jnp.where(restart[None, :], violated_mask(cp, x), viol)
+        if "violw" not in _osmod.environ.get("BARYONYX_ABLATE", ""):
+            viol = jnp.where(restart[None, :], violated_mask(cp, x), viol)
 
         new_rs = ReplicaState(
             x=x, P=P, pi=pi, S=S, viol=viol, kappa=kappa,
