@@ -142,6 +142,28 @@ class AffectedVariables:
 
 
 @dataclass
+class DerivedVariables:
+    """Variables eliminated by the product-fold preprocessor
+    (preprocess/products.py): ``value(name) = value(a) * value(b)`` is
+    reconstructed from the final solution at result-expansion time.
+
+    No reference analogue — the reference only linearizes quadratics
+    (preprocessor.cpp:289-331); this records the inverse transform."""
+
+    names: List[str] = field(default_factory=list)
+    parents_a: List[str] = field(default_factory=list)
+    parents_b: List[str] = field(default_factory=list)
+
+    def push_back(self, name: str, a: str, b: str) -> None:
+        self.names.append(name)
+        self.parents_a.append(a)
+        self.parents_b.append(b)
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+
+@dataclass
 class RawProblem:
     """Parsed-but-unprocessed problem (reference: core:666-690)."""
 
@@ -222,6 +244,7 @@ class Problem(RawProblem):
 
     problem_type: ProblemSolverType = ProblemSolverType.equalities_01
     affected_vars: AffectedVariables = field(default_factory=AffectedVariables)
+    derived_vars: DerivedVariables = field(default_factory=DerivedVariables)
 
     @classmethod
     def from_raw(cls, raw: RawProblem) -> "Problem":

@@ -6,7 +6,7 @@ import enum
 from dataclasses import dataclass, field
 from typing import Dict, List
 
-from baryonyx_tpu.core.model import AffectedVariables
+from baryonyx_tpu.core.model import AffectedVariables, DerivedVariables
 
 
 class ResultStatus(enum.Enum):
@@ -36,6 +36,7 @@ class Result:
     method: str = ""
     variable_name: List[str] = field(default_factory=list)
     affected_vars: AffectedVariables = field(default_factory=AffectedVariables)
+    derived_vars: DerivedVariables = field(default_factory=DerivedVariables)
     solutions: List[Solution] = field(default_factory=list)
 
     duration: float = 0.0
@@ -70,4 +71,10 @@ class Result:
         out.update(
             {n: int(v) for n, v in zip(self.affected_vars.names, self.affected_vars.values)}
         )
+        for n, a, b in zip(
+            self.derived_vars.names,
+            self.derived_vars.parents_a,
+            self.derived_vars.parents_b,
+        ):
+            out[n] = int(bool(out.get(a, 0))) * int(bool(out.get(b, 0)))
         return out

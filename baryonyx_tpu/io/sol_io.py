@@ -58,6 +58,10 @@ def write_result(res: Result, out: Union[TextIO, None] = None) -> str:
             buf.write(f"{name}={1 if value else 0}\n")
         for name, value in zip(res.variable_name, res.solutions[-1].variables):
             buf.write(f"{name}={1 if value else 0}\n")
+        if len(res.derived_vars):
+            vals = res.solution_map()
+            for name in res.derived_vars.names:
+                buf.write(f"{name}={vals[name]}\n")
     elif res.status in (
         ResultStatus.time_limit_reached,
         ResultStatus.kappa_max_reached,

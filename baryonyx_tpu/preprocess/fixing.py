@@ -294,6 +294,9 @@ class _Fixer:
                 names=list(pb.affected_vars.names),
                 values=list(pb.affected_vars.values),
             )
+            out.derived_vars.names = list(pb.derived_vars.names)
+            out.derived_vars.parents_a = list(pb.derived_vars.parents_a)
+            out.derived_vars.parents_b = list(pb.derived_vars.parents_b)
         for i in range(n):
             if i in self.vars:
                 out.affected_vars.names.append(pb.vars.names[i])

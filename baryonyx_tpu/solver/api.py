@@ -25,7 +25,9 @@ from baryonyx_tpu.preprocess.fixing import unpreprocess as _unpreprocess
 def _prepare(ctx: Context, raw: RawProblem) -> Problem:
     params = ctx.parameters
     if params.preprocessor == PreprocessorOptions.all:
-        return _preprocess(ctx, raw)
+        from baryonyx_tpu.preprocess.products import fold_linearized_products
+
+        return fold_linearized_products(ctx, _preprocess(ctx, raw))
     return _unpreprocess(ctx, raw)
 
 

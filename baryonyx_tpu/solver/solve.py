@@ -589,6 +589,7 @@ def solve_compiled(
 def _finalize(ret: Result, pb: Problem, n_constraints: int, t0: float) -> None:
     ret.variable_name = list(pb.vars.names)
     ret.affected_vars = pb.affected_vars
+    ret.derived_vars = pb.derived_vars
     ret.variables = len(pb.vars.values)
     ret.constraints = n_constraints
     ret.duration = time.monotonic() - t0

@@ -29,6 +29,12 @@ def make_variable_value(pb: RawProblem, r: Result) -> List[int]:
         cache[name] = int(bool(value))
     for name, value in zip(r.variable_name, r.solutions[-1].variables):
         cache[name] = int(bool(value))
+    # product-folded variables: value = parent_a * parent_b
+    # (preprocess/products.py; parents are always kept or affected vars)
+    for name, a, b in zip(
+        r.derived_vars.names, r.derived_vars.parents_a, r.derived_vars.parents_b
+    ):
+        cache[name] = cache.get(a, 0) * cache.get(b, 0)
     return [cache[name] for name in pb.vars.names]
 
 
