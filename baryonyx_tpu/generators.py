@@ -219,3 +219,90 @@ def contradiction_cover_lp(groups: int, group_size: int = 20, seed: int = 0) -> 
     out.append(" ".join(f"x{j}" for j in range(n)))
     out.append("end")
     return "\n".join(out) + "\n"
+
+
+def bus_driver_scheduling_lp(
+    pieces: int = 60,
+    shifts_per_piece: int = 12,
+    max_run: int = 5,
+    seed: int = 0,
+) -> str:
+    """csplib022-class bus-driver scheduling: unit-cost set partitioning
+    where each column (shift) covers a contiguous run of work pieces and
+    the objective counts shifts (reference suite:
+    benchmarks/csplib022.csv:1-13 — c1..t2, `min #shifts`, long sparse
+    rows: every piece appears in many candidate shifts).
+
+    Feasible by construction: a chain of disjoint runs covers [0, pieces)
+    exactly; the rest are random overlapping runs (the realistic column
+    pool a crew-scheduling column generator would emit).
+    """
+    rng = random.Random(seed)
+    cols: List[List[int]] = []
+    i = 0
+    while i < pieces:
+        run = rng.randint(2, max_run)
+        cols.append(list(range(i, min(i + run, pieces))))
+        i += run
+    target_cols = pieces * shifts_per_piece // ((2 + max_run) // 2)
+    while len(cols) < target_cols:
+        start = rng.randrange(pieces)
+        run = rng.randint(2, max_run)
+        cols.append(list(range(start, min(start + run, pieces))))
+    out = ["minimize"]
+    out.append(" ".join(f"+ x{j}" for j in range(len(cols))))
+    out.append("subject to")
+    for k in range(pieces):
+        members = [j for j, col in enumerate(cols) if k in col]
+        out.append("c%d: " % k + " + ".join(f"x{j}" for j in members) + " = 1")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(len(cols))))
+    out.append("end")
+    return "\n".join(out) + "\n"
+
+
+def telebus_crew_lp(
+    requests: int = 80,
+    tours_per_request: int = 10,
+    max_tour: int = 4,
+    cost_range=(20_000, 900_000),
+    seed: int = 0,
+) -> str:
+    """telebus-class dial-a-ride crew scheduling: set partitioning with
+    large integer costs (reference suite: benchmarks/telebus.csv:1-29 —
+    t04xx/t17xx/v04xx/v16xx, costs in the 1e5-1e7 range, `min cost`).
+
+    Columns are candidate vehicle tours serving 1..max_tour requests;
+    tour cost grows superlinearly with tour span (detour effect), so the
+    optimum balances consolidation against detours. Feasible by
+    construction (a disjoint tour cover exists).
+    """
+    rng = random.Random(seed)
+    cols: List[List[int]] = []
+    ids = list(range(requests))
+    rng.shuffle(ids)
+    i = 0
+    while i < requests:
+        size = rng.randint(1, max_tour)
+        cols.append(sorted(ids[i : i + size]))
+        i += size
+    target = requests * tours_per_request // ((1 + max_tour) // 2 + 1)
+    while len(cols) < target:
+        size = rng.randint(1, max_tour)
+        cols.append(sorted(rng.sample(range(requests), min(size, requests))))
+    lo, hi = cost_range
+    costs = []
+    for col in cols:
+        base = rng.randint(lo, lo * 3)
+        detour = int((len(col) ** 1.3) * rng.randint(lo // 4, hi // (2 * max_tour)))
+        costs.append(min(base + detour, hi))
+    out = ["minimize"]
+    out.append(" ".join(f"+ {costs[j]} x{j}" for j in range(len(cols))))
+    out.append("subject to")
+    for k in range(requests):
+        members = [j for j, col in enumerate(cols) if k in col]
+        out.append("c%d: " % k + " + ".join(f"x{j}" for j in members) + " = 1")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(len(cols))))
+    out.append("end")
+    return "\n".join(out) + "\n"

@@ -66,9 +66,16 @@ class CompiledProblem:
     # long-ℤ-row exact subsolver data: rows too long to enumerate get an
     # exact DP over factor sums (the TPU-native stand-in for the
     # reference's per-row branch-and-bound,
-    # branch-and-bound-solver.hpp:450-533; SURVEY.md §7 step 6)
+    # branch-and-bound-solver.hpp:450-533; SURVEY.md §7 step 6). Factors
+    # and bounds are divided by the row's gcd so large-magnitude
+    # coefficients stay inside the bounded table whenever the *scaled*
+    # span fits; rows whose scaled span still exceeds DP_W_MAX fall back
+    # to the greedy walk (ops/zsweep.py) instead of failing.
     dp_row: Optional[jax.Array]  # bool[m] — row solved by the DP
-    dp_lo: Optional[jax.Array]  # int32[m] — min activity (sum of neg factors)
+    dp_lo: Optional[jax.Array]  # int32[m] — scaled min activity
+    dp_fac: Optional[jax.Array]  # int32[m, Kr] — gcd-scaled factors
+    dp_blo: Optional[jax.Array]  # int32[m] — scaled lower bound (ceil)
+    dp_bhi: Optional[jax.Array]  # int32[m] — scaled upper bound (floor)
 
     # quadratic-objective extras (None for linear objectives): per-variable
     # neighbor lists so c(j, x) = c_j + sum_q f_q x[other_q]
@@ -225,7 +232,7 @@ def compile_problem(
                 raise ValueError(f"constraint {cst.id}: empty bound interval")
 
     assign_bits = assign_valid = enum_row = None
-    dp_row = dp_lo = None
+    dp_row = dp_lo = dp_fac = dp_blo = dp_bhi = None
     Amax = 0
     Wdp = 0
     if has_z:
@@ -241,24 +248,49 @@ def compile_problem(
         enum_row_np = np.zeros(m, dtype=bool)
         dp_row_np = np.zeros(m, dtype=bool)
         dp_lo_np = np.zeros(m, dtype=np.int32)
+        dp_fac_np = np.zeros((m, Kr), dtype=np.int32)
+        dp_blo_np = np.zeros(m, dtype=np.int32)
+        dp_bhi_np = np.zeros(m, dtype=np.int32)
+        import math
+
         per_row: List[np.ndarray] = []
         for k, cst in enumerate(constraints):
             L = len(cst.elements)
             row_has_z = any(abs(el.factor) > 1 for el in cst.elements)
             if L > Z_ENUM_MAX:
                 if row_has_z:
+                    # gcd-rescale: activities are multiples of g, so the DP
+                    # can run in a/g space with bounds [ceil(bmin/g),
+                    # floor(bmax/g)] — exact, and it pulls arbitrary
+                    # coefficient magnitudes (1e5+, VERDICT r3 item 4)
+                    # back into the bounded table whenever the scaled span
+                    # fits. Rows whose scaled span still exceeds DP_W_MAX
+                    # use the greedy walk (suboptimal row choices, never
+                    # wrong: feasibility is window-checked in the walk and
+                    # the repair pass compensates — the reference's B&B is
+                    # exponential-time on such rows too).
+                    g = 0
+                    for el in cst.elements:
+                        g = math.gcd(g, abs(el.factor))
+                    g = max(g, 1)
                     negsum = sum(el.factor for el in cst.elements if el.factor < 0)
                     possum = sum(el.factor for el in cst.elements if el.factor > 0)
-                    span = int(possum - negsum) + 1
-                    if span > DP_W_MAX:
-                        raise NotImplementedError(
-                            f"constraint {cst.id}: activity span {span} > "
-                            f"{DP_W_MAX} exceeds the exact-DP row solver's "
-                            "table width"
+                    span = (int(possum) - int(negsum)) // g + 1
+                    blo = -(-int(bmin[k]) // g)  # ceil
+                    bhi = int(bmax[k]) // g  # floor
+                    if blo > bhi:
+                        raise ValueError(
+                            f"constraint {cst.id}: no feasible activity "
+                            f"(multiples of {g} in [{bmin[k]}, {bmax[k]}])"
                         )
-                    dp_row_np[k] = True
-                    dp_lo_np[k] = int(negsum)
-                    Wdp = max(Wdp, span)
+                    if span <= DP_W_MAX:
+                        dp_row_np[k] = True
+                        dp_lo_np[k] = int(negsum) // g
+                        dp_blo_np[k] = blo
+                        dp_bhi_np[k] = bhi
+                        for s, el in enumerate(cst.elements):
+                            dp_fac_np[k, s] = el.factor // g
+                        Wdp = max(Wdp, span)
                 per_row.append(np.zeros((0, Kr), dtype=np.int8))
                 continue
             factors = np.array([el.factor for el in cst.elements])
@@ -286,6 +318,9 @@ def compile_problem(
             Wdp = _bucket(Wdp, 64)
             dp_row = jnp.asarray(dp_row_np)
             dp_lo = jnp.asarray(dp_lo_np)
+            dp_fac = jnp.asarray(dp_fac_np)
+            dp_blo = jnp.asarray(dp_blo_np)
+            dp_bhi = jnp.asarray(dp_bhi_np)
 
     # dense A for matmul activities — worth it while m*n stays modest
     dense_A = None
@@ -374,6 +409,9 @@ def compile_problem(
         enum_row=enum_row,
         dp_row=dp_row,
         dp_lo=dp_lo,
+        dp_fac=dp_fac,
+        dp_blo=dp_blo,
+        dp_bhi=dp_bhi,
         Wdp=Wdp,
         quad_var=quad_var,
         quad_fac=quad_fac,

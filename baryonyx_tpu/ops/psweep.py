@@ -130,6 +130,8 @@ def _vmem_bytes(cp: CompiledProblem, Gc: int, Bb: int, big: bool) -> int:
         # the whole slot loop (cnt, J_bot mins, J_top maxes, mx_np, mn_p)
         + Bb * (3 + cp.J_bot + cp.J_top) * tile
     )
+    if cp.has_quad:
+        v += cp.n * tile  # cq_v f32 — quadratic cost sums
     return v
 
 
@@ -151,7 +153,11 @@ def plan(
     # boundary relayouts dominate — the jnp sweep is faster there
     if R % LANE != 0 or R < 4 * LANE:
         return None
-    if cp.has_z or cp.has_quad:
+    if cp.has_z:
+        return None
+    # quadratic costs ride a dense [n, n] neighbor matrix (see psweep());
+    # cap the instance size so that matmul and the extra VMEM stay sane
+    if cp.has_quad and cp.n > 8192:
         return None
     if not cp.sel_reduction_ok:
         return None
@@ -219,6 +225,7 @@ def _make_kernel(
     m, n, Kr = cp.m, cp.n, cp.Kr
     J_bot, J_top = cp.J_bot, cp.J_top
     unit = cp.all_unit_pos  # pure 0/1 class: drop all factor-sign handling
+    quad = cp.has_quad  # c(j, x) adds the CQ quadratic-sum tile (see psweep)
     f32 = jnp.float32
     u32 = jnp.uint32
 
@@ -245,6 +252,8 @@ def _make_kernel(
         theta_hbm = next(it)  # f32[G, 128]
         sched_hbm = next(it)  # int32[m, G, 128]
         P_hbm = next(it)  # f32[m, Kr, G, 128] (aliased out 3)
+        if quad:
+            CQ_hbm = next(it)  # f32[n, G, 128] — sweep-entry quad sums
         if big:
             # chunked tables: [m, ti*C, 128] int32 (vars, then factors
             # unless unit) and [m, C, 128] f32 (pre-gathered slot costs)
@@ -258,6 +267,8 @@ def _make_kernel(
         # VMEM scratch
         S_v = next(it)  # f32[n, Gc, 128]
         x_v = next(it)  # int32[n, Gc, 128]
+        if quad:
+            cq_v = next(it)  # f32[n, Gc, 128]
         pi_v = next(it)  # f32[m, Gc, 128]
         sched_v = next(it)  # int32[m, Gc, 128]
         kap_v = next(it)  # f32[Gc, 128]
@@ -324,6 +335,10 @@ def _make_kernel(
             pltpu.make_async_copy(delta_hbm.at[gsl], del_v, sem_st.at[6]),
             pltpu.make_async_copy(theta_hbm.at[gsl], the_v, sem_st.at[7]),
         ]
+        if quad:
+            cps.append(
+                pltpu.make_async_copy(CQ_hbm.at[:, gsl], cq_v, sem_st.at[8])
+            )
         for c in cps:
             c.start()
         for c in cps:
@@ -402,6 +417,11 @@ def _make_kernel(
                     j = rowvars_ref[kc[b], s]
                     cj = cost_ref[j]
                     af = None if unit else rowfac_ref[kc[b], s].astype(f32)
+                if quad:
+                    # c(j, x) = c_j + quadratic neighbor sum, with x as of
+                    # sweep entry (reference: quadratic_cost_type,
+                    # itm-common.hpp:1404-1416; staleness note in psweep())
+                    cj = cj + cq_v[j]
                 return j, cj, af
 
             def slot_stats(s, carry):
@@ -601,6 +621,7 @@ def _psweep_call(
     key: jax.Array,
     obj_amp: jax.Array,  # f32[R]
     S: jax.Array,  # f32[n, R]
+    CQ: Optional[jax.Array],  # f32[n, R] — quadratic cost sums (has_quad)
     minimize: bool,
     kplan: PsweepPlan,
     interpret: bool = False,
@@ -647,6 +668,8 @@ def _psweep_call(
         n_rows, jnp.int32
     ).reshape(1), rowmeta]
     tensor_inputs = [S3, x3, pi3, kap, ampv, deltav, thetav, sched3, P4]
+    if cp.has_quad:
+        tensor_inputs.append(CQ.astype(f32).reshape(n, G, LANE))
     rv = cp.row_vars
     rf = cp.row_factor.astype(jnp.int32)
     C = _table_chunks(Kr)
@@ -678,6 +701,10 @@ def _psweep_call(
     scratch = [
         pltpu.VMEM((n, Gc, LANE), f32),  # S_v
         pltpu.VMEM((n, Gc, LANE), jnp.int32),  # x_v
+    ]
+    if cp.has_quad:
+        scratch.append(pltpu.VMEM((n, Gc, LANE), f32))  # cq_v
+    scratch += [
         pltpu.VMEM((m, Gc, LANE), f32),  # pi_v
         pltpu.VMEM((m, Gc, LANE), jnp.int32),  # sched_v
         pltpu.VMEM((Gc, LANE), f32),  # kap_v
@@ -689,7 +716,7 @@ def _psweep_call(
         pltpu.VMEM((Bb, Gc, LANE), f32),  # thr_blk
         pltpu.VMEM((Bb, Gc, LANE), f32),  # d_blk
         pltpu.VMEM((Bb, Gc, LANE), f32),  # dpi_blk
-        pltpu.SemaphoreType.DMA((8,)),  # sem_st
+        pltpu.SemaphoreType.DMA((9,)),  # sem_st (slot 8: CQ when has_quad)
         pltpu.SemaphoreType.DMA((Bb,)),  # sem_in
         pltpu.SemaphoreType.DMA((Bb,)),  # sem_out
     ]
@@ -747,15 +774,27 @@ def psweep(
     minimize: bool = True,
     block_size: int = 8,
     random_solver: bool = False,
-    quad_fac: Optional[jax.Array] = None,
+    quad_fac: Optional[jax.Array] = None,  # unused (kept for signature parity)
+    quad_mat: Optional[jax.Array] = None,  # f[n, n] dense normalized factors
     S: Optional[jax.Array] = None,
     S_fresh: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple:
     """Drop-in replacement for ops.sweep:sweep on supported problems.
 
-    Same contract: returns (x, P, pi, S, new_violated, remaining)."""
-    assert not random_solver and quad_fac is None
+    Same contract: returns (x, P, pi, S, new_violated, remaining).
+
+    Quadratic costs: callers pass ``quad_mat`` (dense [n, n] of normalized
+    quadratic factors, diagonal = square terms). The kernel reads
+    c(j, x) = c_j + CQ[j] with CQ = quad_mat @ x computed once at sweep
+    ENTRY — one MXU matmul instead of per-slot neighbor gathers. The jnp
+    sweep refreshes c(j, x) at block granularity instead; both are stale
+    relative to the reference's row-sequential walk, and the coarser
+    sweep-level staleness follows the same block-Jacobi argument as the
+    module docstring (prices decorrelate decisions; parity on fixtures is
+    asserted where the two granularities coincide, tests/test_psweep.py)."""
+    assert not random_solver
+    assert (quad_mat is not None) == cp.has_quad
     kplan = plan(cp, pi.shape[-1], P.dtype, block_size)
     assert kplan is not None, "psweep called on an unsupported instance"
     dtype = P.dtype
@@ -767,9 +806,15 @@ def psweep(
         S = jax.lax.cond(S_fresh, lambda: S, lambda: column_sums(cp, P, pi))
     if n_rows is None:
         n_rows = jnp.asarray(order.shape[0], jnp.int32)
+    CQ = None
+    if cp.has_quad:
+        CQ = jnp.dot(
+            quad_mat, x.astype(quad_mat.dtype),
+            preferred_element_type=quad_mat.dtype,
+        )
     x, P, pi, S = _psweep_call(
         cp, x, P, pi, cost, sched, order, n_rows, kappa, delta, theta,
-        key, obj_amp, S, minimize, kplan=kplan, interpret=interpret,
+        key, obj_amp, S, CQ, minimize, kplan=kplan, interpret=interpret,
     )
     new_viol = violated_mask(cp, x)
     return x, P, pi, S, new_viol, jnp.sum(new_viol.astype(jnp.int32), axis=0)

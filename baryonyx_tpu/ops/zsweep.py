@@ -64,7 +64,9 @@ def _dp_select(
     inf = jnp.asarray(jnp.inf, dtype)
     nw = (Kr + 31) // 32
 
-    a = cp.row_factor[rows_c].astype(jnp.int32)  # [B, Kr]
+    # gcd-scaled factors/bounds (ops/layout.py): the DP runs in a/g space
+    # so arbitrary coefficient magnitudes fit the bounded table
+    a = cp.dp_fac[rows_c]  # [B, Kr] int32
     lo = cp.dp_lo[rows_c]  # [B]
     rq = r if minimize else -r
     # padded/invalid slots must never be picked: +inf item cost means the
@@ -102,9 +104,9 @@ def _dp_select(
 
     f, msk = jax.lax.fori_loop(0, Kr, slot_body, (f0, m0))
 
-    # feasible activity window per row
-    wlo = (cp.bmin[rows_c] - lo)[:, None]  # [B, 1]
-    whi = (cp.bmax[rows_c] - lo)[:, None]
+    # feasible activity window per row (scaled space)
+    wlo = (cp.dp_blo[rows_c] - lo)[:, None]  # [B, 1]
+    whi = (cp.dp_bhi[rows_c] - lo)[:, None]
     in_range = (w_iota[None, :] >= wlo) & (w_iota[None, :] <= whi)  # [B, W]
     f = jnp.where(in_range[:, :, None], f, inf)
     w_best = jnp.argmin(f, axis=1)  # [B, R]

@@ -31,9 +31,16 @@ def setup_cache(path: str | None = None) -> None:
         platform = jax.default_backend()
     except Exception:
         platform = "default"
-    cache_dir = path or os.environ.get(
-        "BARYONYX_TPU_CACHE", f"/tmp/baryonyx_tpu_jax_cache_{platform}"
+    # repo-local by default: /tmp is wiped between sessions on shared
+    # machines, silently discarding every compiled executable and making
+    # each fresh process pay minutes of tunnel-compile latency again
+    # (measured: 275-735 s wall for 20 s solves). A directory next to the
+    # package survives with the checkout.
+    default_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f".jax_cache_{platform}",
     )
+    cache_dir = path or os.environ.get("BARYONYX_TPU_CACHE", default_dir)
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

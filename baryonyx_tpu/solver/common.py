@@ -223,9 +223,14 @@ def dual_bound(
     rm = np.asarray(cp.row_mask)
     b = np.asarray(cp.bmin if minimize else cp.bmax, dtype=np.float64)
     n = cp.n
-    sum_a_pi = np.zeros(n)
-    for k in range(cp.m_real):
-        np.add.at(sum_a_pi, rv[k][rm[k]], rf[k][rm[k]] * pi[k])
+    # one O(nnz) bincount instead of a per-row Python loop — this runs on
+    # the 1 Hz progress path, where an O(m) loop stalls 7-20k-row
+    # instances (VERDICT r3)
+    mr = cp.m_real
+    mask = rm[:mr]
+    idx = rv[:mr][mask]
+    w = (rf[:mr] * np.asarray(pi[:mr], dtype=np.float64)[:, None])[mask]
+    sum_a_pi = np.bincount(idx, weights=w, minlength=n)[:n]
     resid = c_norm[: len(sum_a_pi)] - sum_a_pi
     lb = float(np.dot(pi[: cp.m_real], b[: cp.m_real]))
     if minimize:

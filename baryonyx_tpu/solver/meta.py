@@ -225,8 +225,16 @@ def _annoying_variable(res: Result, pb: Problem) -> int:
     for _, cst in pb.all_constraints():
         for el in cst.elements:
             degree[el.variable_index] = degree.get(el.variable_index, 0) + 1
-    if res.annoying_variable and 0 <= res.annoying_variable < len(pb.vars.names):
-        return res.annoying_variable
+    # res.annoying_variable indexes res's OWN compacted variable space;
+    # pb may be a subproblem with a different compaction after split() —
+    # map through the variable NAME, which is stable across compactions
+    if res.annoying_variable and res.variable_name:
+        if 0 <= res.annoying_variable < len(res.variable_name):
+            name = res.variable_name[res.annoying_variable]
+            try:
+                return pb.vars.names.index(name)
+            except ValueError:
+                pass  # variable was fixed away in this node; fall through
     if not degree:
         return 0
     return max(degree, key=degree.get)
@@ -259,19 +267,22 @@ def branch_optimize(ctx: Context, raw: RawProblem) -> Result:
     best_res = optimize_compiled(internal, pb)
     best_score = _score(best_res, minimize)
 
-    nodes: List[Tuple[int, float, Problem]] = []
+    # queue entries carry the node's OWN result so the split statistic is
+    # read in the node's index space (then name-mapped by
+    # _annoying_variable)
+    nodes: List[Tuple[int, float, Problem, Result]] = []
     if len(pb.vars.names) > 1:
-        nodes.append((best_res.remaining_constraints, best_score, pb))
+        nodes.append((best_res.remaining_constraints, best_score, pb, best_res))
 
     processed = 0
     while nodes and processed < node_limit:
         if time.monotonic() - t0 > wall_budget:
             break
         nodes.sort(key=lambda t: (t[0], t[1]))
-        _, _, node_pb = nodes.pop(0)
+        _, _, node_pb, node_res = nodes.pop(0)
         processed += 1
 
-        var = _annoying_variable(best_res, node_pb)
+        var = _annoying_variable(node_res, node_pb)
         try:
             hi, lo = split(internal, node_pb, var)
         except Exception:
@@ -289,6 +300,6 @@ def branch_optimize(ctx: Context, raw: RawProblem) -> Result:
                 best_score = score
                 best_res = res
             if res.status == ResultStatus.success and len(sub.vars.names) > 1:
-                nodes.append((res.remaining_constraints, score, sub))
+                nodes.append((res.remaining_constraints, score, sub, res))
 
     return best_res

@@ -63,6 +63,16 @@ from baryonyx_tpu.solver.population import (
 )
 from baryonyx_tpu.solver.solve import _finalize
 
+
+def _ablate(token: str) -> bool:
+    """Ablation-study hooks (scripts/ablate_evolve.py). Exact token match
+    on the comma-separated BARYONYX_ABLATE list. The env var is read at
+    TRACE time — it is not part of the jit cache key, so it must be set
+    before process start; toggling it mid-process has no effect on
+    already-compiled graphs (optimize_compiled warns loudly when set)."""
+    v = _osmod.environ.get("BARYONYX_ABLATE", "")
+    return token in [t.strip() for t in v.split(",")] if v else False
+
 PHASE_ANNEAL, PHASE_PUSH, PHASE_PUSH_ITER = 0, 1, 2
 FLIP_DECAY = 0.9  # per host chunk (see _evolve_impl)
 INT_MAX = 2**31 - 1
@@ -177,9 +187,12 @@ def _evolve_impl(
         )
         sched = rs.viol | is_push[None, :] | process_all  # [m, R]
 
-        if "compact" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+        if _ablate("compact"):
             order2 = order
-            n_rows = jnp.asarray(mp // B * B, jnp.int32)
+            # process exactly the m real rows: mp is already a multiple of
+            # B, and padding entries of `order` hold the sentinel row m,
+            # which the Pallas path must never receive (ADVICE r3)
+            n_rows = jnp.asarray(m, jnp.int32)
             sched_any = None
         else:
             sched_any = jnp.any(sched, axis=1)  # [m]
@@ -208,14 +221,16 @@ def _evolve_impl(
             from baryonyx_tpu.ops import psweep as pw
 
             pmode = pw.enabled_mode()
+            quad_ready = hp.get("quad_fac") is None or "quad_mat" in hp
             if (
                 pmode
                 and not random_solver
-                and hp.get("quad_fac") is None
+                and quad_ready
                 and pw.supports(cp, R, rs.P.dtype, block_size)
             ):
                 kernel = functools.partial(
-                    pw.psweep, interpret=(pmode == "interpret")
+                    pw.psweep, interpret=(pmode == "interpret"),
+                    quad_mat=hp.get("quad_mat"),
                 )
         out = kernel(
             cp, rs.x, P=rs.P, pi=rs.pi, cost=cost_norm, sched=sched,
@@ -229,7 +244,7 @@ def _evolve_impl(
         else:
             x, P, pi, S, viol, remaining = out
 
-        if "value" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+        if _ablate("value"):
             value = jnp.zeros((R,), dtype)
         else:
             value = jnp.einsum("n,nr->r", cost_orig, x.astype(dtype)) + cost_constant
@@ -242,7 +257,7 @@ def _evolve_impl(
         found = remaining == 0  # [R]
         # per-variable instability: count sweep-induced bit flips summed
         # over replicas (before any restart reseeding below)
-        if "flips" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+        if _ablate("flips"):
             flips = state.flips
         else:
             flips = state.flips + jnp.sum(
@@ -292,7 +307,7 @@ def _evolve_impl(
         # step loop (see _evolve_impl's tail), matching the reference's
         # loose ~1 Hz coupling (itm-optimizer-common.hpp:836-857) instead
         # of round 2's [R, n] all-gather every sweep.
-        if "insert" in _osmod.environ.get("BARYONYX_ABLATE", ""):
+        if _ablate("insert"):
             pop = state.pop
         else:
             pop = batch_insert(
@@ -411,7 +426,7 @@ def _evolve_impl(
         ).astype(jnp.int32)
 
         # restarting replicas recompute their violated set from the new x
-        if "violw" not in _osmod.environ.get("BARYONYX_ABLATE", ""):
+        if not _ablate("violw"):
             viol = jnp.where(restart[None, :], violated_mask(cp, x), viol)
 
         new_rs = ReplicaState(
@@ -613,12 +628,14 @@ def _budget_loop(
     sweep_budget: float,
     budget_t0: float,
     last_ckpt: float,
+    bound_fn=None,
 ) -> "OptState":
     """The host-side chunk loop: run `chunk` evolve steps at a time until
     the wall-clock budget or the total sweep budget is exhausted
     (reference terminator: itm-optimizer-common.hpp:836-859). The chunk
     length adapts so each host round trip buys ~0.5 s of device work.
     Ctrl-C returns the best population found so far instead of dying."""
+    best_lb = float("-inf")  # bound_fn orientation: higher is tighter
     try:
         while True:
             t_chunk = time.monotonic()
@@ -638,6 +655,24 @@ def _budget_loop(
                     time.monotonic() - budget_t0,
                     int(stats[3]),
                 )
+            if bound_fn is not None:
+                # dual-bound/gap print on the progress cadence; like the
+                # reference's bounds_printer, only improvements print
+                # (reference: itm-common.hpp:501-625)
+                lb, score = bound_fn(state)
+                if score > best_lb:
+                    best_lb = score
+                    best = float(stats[1])
+                    gap = (
+                        abs(best - lb) / max(abs(best), 1e-9) * 100.0
+                        if int(stats[0]) == 0
+                        else float("nan")
+                    )
+                    ctx.info(
+                        "  - sweeps {}: dual-bound {:.6g} best {:.6g} "
+                        "gap {:.2f}%\n",
+                        int(stats[2]), lb, best, gap,
+                    )
             if params.checkpoint_path and (
                 time.monotonic() - last_ckpt >= params.checkpoint_every
             ):
@@ -678,6 +713,16 @@ def optimize_compiled(
     minimize = pb.type == ObjectiveType.minimize
     dtype = jnp.float64 if params.float_type == FloatType.float64 else jnp.float32
 
+    if _osmod.environ.get("BARYONYX_ABLATE"):
+        # a leftover ablation flag silently corrupts real solves (e.g.
+        # "value" zeroes the objective while status still reports success)
+        ctx.warning(
+            "BARYONYX_ABLATE={} is set: this run executes ABLATED solver "
+            "graphs (results are for ablation studies only). The flag is "
+            "read at trace time — set/unset it before process start.\n",
+            _osmod.environ["BARYONYX_ABLATE"],
+        )
+
     ret = Result(method="optimize")
     n = len(pb.vars.values)
     constraints = make_merged_constraints(ctx, pb)
@@ -687,6 +732,22 @@ def optimize_compiled(
         ret.solutions.append(Solution([], pb.objective.value))
         _finalize(ret, pb, len(constraints), t0)
         return ret
+
+    from baryonyx_tpu.core.params import SolverType as _Sol
+
+    if hp_vectors is None and params.solver != _Sol.random:
+        from baryonyx_tpu.solver.exact import exact_enumerate
+
+        exact = exact_enumerate(pb, constraints, n)
+        if exact is not None:
+            bits, value = exact
+            ctx.info(
+                "  - exact enumeration ({} variables): optimum {}\n", n, value
+            )
+            ret.status = ResultStatus.success
+            ret.solutions.append(Solution([int(b) for b in bits], value))
+            _finalize(ret, pb, len(constraints), t0)
+            return ret
 
     seed = params.seed if params.seed else int(time.time())
     rng = np.random.default_rng(seed)
@@ -904,6 +965,16 @@ def optimize_compiled(
     )
     if cp.has_quad:
         hp["quad_fac"] = quad_fac_norm
+        if cp.n <= 8192:
+            # dense normalized neighbor matrix for the fused kernel's
+            # sweep-entry CQ matmul (ops/psweep.py quadratic path)
+            qm_np = np.asarray(cp.quad_mask)
+            qv_np = np.asarray(cp.quad_var)
+            qf_np = np.asarray(quad_fac_norm, np.float64)
+            dq = np.zeros((cp.n, cp.n))
+            jj = np.repeat(np.arange(cp.n), qm_np.shape[1]).reshape(qm_np.shape)
+            np.add.at(dq, (jj[qm_np], qv_np[qm_np]), qf_np[qm_np])
+            hp["quad_mat"] = jnp.asarray(dq, dtype)
         hp["qa"] = jnp.asarray(
             [q.variable_index_a for q in pb.objective.qelements], jnp.int32
         )
@@ -1096,27 +1167,6 @@ def optimize_compiled(
     else:
         stats_fn = _stats_stack
 
-    def _stats_stack(st):
-        return jnp.stack(
-            [
-                st.pop.remaining[0].astype(jnp.float64),
-                st.pop.value[0].astype(jnp.float64),
-                st.sweeps.astype(jnp.float64),
-                jnp.sum(st.replicas.restarts).astype(jnp.float64),
-            ]
-        )
-
-    if mesh is not None and jax.process_count() > 1:
-        # a raw index into a sharded global array is not addressable from
-        # every process; fetch through a replicated-output jit instead
-        from jax.sharding import NamedSharding, PartitionSpec as _P
-
-        stats_fn = jax.jit(
-            _stats_stack, out_shardings=NamedSharding(mesh, _P())
-        )
-    else:
-        stats_fn = _stats_stack
-
     last_ckpt = time.monotonic()
     # Warm the jit cache with a zero-length evolve so compilation is
     # excluded from the time budget exactly when it happens (warm caches
@@ -1132,9 +1182,19 @@ def optimize_compiled(
     # matching the reference's 1 Hz progress cadence
     # (itm-optimizer-common.hpp:836-857) without throttling the device.
     chunk = max(1, params.chunk_size)
+    bound_fn = None
+    if params.print_level > 0 and jax.process_count() == 1:
+        def bound_fn(st):
+            lb = common.dual_bound(
+                cp, np.asarray(st.replicas.pi[:, 0]), cost_norm, minimize
+            )
+            # second element: tightness score (higher = tighter) so the
+            # improvement filter works for both senses
+            return lb, (lb if minimize else -lb)
+
     state = _budget_loop(
         ctx, params, state, run_evolve, stats_fn, chunk, time_limit,
-        sweep_budget, budget_t0, last_ckpt,
+        sweep_budget, budget_t0, last_ckpt, bound_fn=bound_fn,
     )
 
     # extraction (reference: :869-900); best LAST to match Result.best

@@ -401,6 +401,29 @@ def solve_compiled(
         _finalize(ret, pb, len(constraints), t0)
         return ret
 
+    from baryonyx_tpu.core.params import ObserverType as _Obs
+    from baryonyx_tpu.core.params import SolverType as _Sol
+    from baryonyx_tpu.solver.exact import exact_enumerate
+
+    # observer/debug runs want the real loop's trace; the --random
+    # baseline must stay random
+    exact = None
+    if (
+        params.observer == _Obs.none
+        and not params.debug
+        and params.solver != _Sol.random
+    ):
+        exact = exact_enumerate(pb, constraints, n)
+    if exact is not None:
+        bits, value = exact
+        ctx.info(
+            "  - exact enumeration ({} variables): optimum {}\n", n, value
+        )
+        ret.status = ResultStatus.success
+        ret.solutions.append(Solution([int(b) for b in bits], value))
+        _finalize(ret, pb, len(constraints), t0)
+        return ret
+
     seed = params.seed if params.seed else int(time.time())
     rng = np.random.default_rng(seed)
     if key is None:

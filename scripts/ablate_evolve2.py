@@ -18,6 +18,13 @@ from baryonyx_tpu.solver import common, optimize as O
 
 
 def timed_run(label):
+    # O.evolve is jit-wrapped: monkeypatched internals (batch_insert,
+    # make_order) are only re-traced after clearing the jit cache —
+    # otherwise every configuration re-runs the 'full' executable and the
+    # ablation measures nothing (ADVICE r3).
+    import jax
+
+    jax.clear_caches()
     ctx = make_context(0)
     ctx.parameters.seed = 123
     pb = preprocess(ctx, parse_lp(open("/tmp/vtest/scp.lp").read()))

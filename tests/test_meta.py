@@ -169,3 +169,68 @@ def test_annoying_variable_is_measured_not_degree():
     assert names[max(degree, key=degree.get)] == "y"
     # and the branch-mode selector prefers the measured statistic
     assert _annoying_variable(r, pb) == measured
+
+
+def test_annoying_variable_name_mapped_across_compaction():
+    """The split statistic indexes the result's own variable space; on a
+    re-compacted subproblem it must resolve through the NAME
+    (VERDICT r3 weak 6)."""
+    from baryonyx_tpu.core.model import (
+        Constraint, FunctionElement, Problem, VariableValue,
+    )
+    from baryonyx_tpu.core.result import Result
+    from baryonyx_tpu.solver.meta import _annoying_variable
+
+    res = Result()
+    res.variable_name = ["a", "b", "c"]
+    res.annoying_variable = 2  # "c" in the root space
+
+    node = Problem()
+    node.vars.names = ["c", "a"]  # subproblem compaction reordered
+    node.vars.values = [VariableValue(0, 1), VariableValue(0, 1)]
+    node.equal_constraints.append(
+        Constraint("r", [FunctionElement(1, 0), FunctionElement(1, 1)], 1, 0)
+    )
+    assert _annoying_variable(res, node) == 0  # "c" is index 0 here
+
+    # variable fixed away in the node -> degree fallback, no crash
+    node2 = Problem()
+    node2.vars.names = ["a", "b"]
+    node2.vars.values = [VariableValue(0, 1), VariableValue(0, 1)]
+    node2.equal_constraints.append(
+        Constraint("r", [FunctionElement(1, 0)], 1, 0)
+    )
+    assert _annoying_variable(res, node2) == 0
+
+
+def test_dual_bound_vectorized_matches_loop():
+    """The O(nnz) bincount dual bound equals the per-row definition
+    (reference: bounds_printer, itm-common.hpp:501-625)."""
+    import numpy as np
+
+    import baryonyx_tpu as bx
+    from baryonyx_tpu.generators import random_set_cover_lp
+    from baryonyx_tpu.ops.layout import compile_problem
+    from baryonyx_tpu.preprocess import unpreprocess
+    from baryonyx_tpu.preprocess.merge import make_merged_constraints
+    from baryonyx_tpu.solver.common import dual_bound
+
+    ctx = bx.make_context(0)
+    pb = unpreprocess(ctx, bx.parse_lp(random_set_cover_lp(30, 80, seed=5)))
+    n = len(pb.vars.names)
+    cp = compile_problem(make_merged_constraints(ctx, pb), n)
+    rng = np.random.default_rng(0)
+    pi = rng.normal(size=cp.m)
+    c = np.pad(rng.normal(size=n), (0, cp.n - n))
+
+    got = dual_bound(cp, pi, c, True)
+
+    rv, rf, rm = (np.asarray(cp.row_vars), np.asarray(cp.row_factor),
+                  np.asarray(cp.row_mask))
+    sum_a_pi = np.zeros(cp.n)
+    for k in range(cp.m_real):
+        np.add.at(sum_a_pi, rv[k][rm[k]], rf[k][rm[k]] * pi[k])
+    want = float(pi[: cp.m_real] @ np.asarray(cp.bmin)[: cp.m_real]) + float(
+        np.minimum(0.0, c - sum_a_pi).sum()
+    )
+    assert abs(got - want) < 1e-9

@@ -277,3 +277,89 @@ def test_per_replica_hp_routing():
         for oa, ob, om in zip(a[1:], b[1:], mixed[1:]):
             np.testing.assert_allclose(om[..., :half], oa[..., :half], atol=1e-5)
             np.testing.assert_allclose(om[..., half:], ob[..., half:], atol=1e-5)
+
+
+def test_psweep_interpret_parity_quadratic():
+    """Quadratic-cost path: the kernel's sweep-entry CQ matmul must match
+    the jnp sweep exactly on an instance where the two staleness
+    granularities coincide — disjoint rows with intra-row quadratic pairs
+    (a variable's quad neighbors change only when its own row processes,
+    so block-entry x == sweep-entry x for every read)."""
+    from baryonyx_tpu.core.model import ObjectiveQuadraticTerm
+    from baryonyx_tpu.ops import psweep as pw
+    from baryonyx_tpu.ops.sweep import sweep
+
+    m_rows, row_len = 16, 8
+    n0 = m_rows * row_len
+    lines = ["minimize"]
+    lines.append(
+        " + ".join(f"{1 + j} x{j}" for j in range(n0))
+    )
+    lines.append("subject to")
+    for k in range(m_rows):
+        lines.append(
+            " + ".join(f"x{8 * k + i}" for i in range(row_len)) + " >= 2"
+        )
+    lines.append("binary")
+    lines.append(" ".join(f"x{j}" for j in range(n0)))
+    lines.append("end")
+
+    ctx = make_context(0)
+    pb = parse_lp("\n".join(lines))
+    csts = make_merged_constraints(ctx, pb)
+    qelements = []
+    for k in range(m_rows):
+        qelements.append(
+            ObjectiveQuadraticTerm(3.0 + k, 8 * k, 8 * k + 1)
+        )
+        qelements.append(
+            ObjectiveQuadraticTerm(-2.0 - k, 8 * k + 2, 8 * k + 3)
+        )
+    cp = compile_problem(csts, n0, qelements=qelements)
+    assert cp.has_quad
+    cost = jnp.asarray(
+        1.0 + np.arange(cp.n) + 0.01 * ((np.arange(cp.n) * 37) % 61),
+        jnp.float32,
+    )
+    kplan = pw.plan(cp, R, jnp.float32, 8)
+    assert kplan is not None
+    block_size = kplan.Bb
+
+    # dense neighbor matrix from the compiled tables (what optimize builds)
+    qm = np.asarray(cp.quad_mask)
+    qv = np.asarray(cp.quad_var)
+    qf = np.asarray(cp.quad_fac, np.float64)
+    dq = np.zeros((cp.n, cp.n))
+    jj = np.repeat(np.arange(cp.n), qm.shape[1]).reshape(qm.shape)
+    np.add.at(dq, (jj[qm], qv[qm]), qf[qm])
+    quad_mat = jnp.asarray(dq, jnp.float32)
+
+    kappa = jnp.full((R,), 0.15, jnp.float32)
+    amp = jnp.zeros((R,), jnp.float32)
+    delta, theta = jnp.float32(0.01), jnp.float32(0.5)
+
+    outs = []
+    for impl in ("jnp", "pallas"):
+        x, P, pi, sched, order = _state(cp)
+        S = None
+        for it in range(3):
+            kw = dict(
+                n_rows=None, minimize=True, block_size=block_size,
+                S=S, S_fresh=jnp.asarray(it != 0),
+            )
+            if impl == "jnp":
+                x, P, pi, S, viol, rem = sweep(
+                    cp, x, P, pi, cost, sched, order, kappa, delta,
+                    theta, jax.random.key(it + 1), amp,
+                    quad_fac=cp.quad_fac.astype(jnp.float32), **kw,
+                )
+            else:
+                x, P, pi, S, viol, rem = pw.psweep(
+                    cp, x, P, pi, cost, sched, order, kappa, delta,
+                    theta, jax.random.key(it + 1), amp, interpret=True,
+                    quad_mat=quad_mat, **kw,
+                )
+            sched = viol
+        outs.append((np.asarray(x), np.asarray(P), np.asarray(pi),
+                     np.asarray(S), np.asarray(rem)))
+    _assert_parity(*outs)

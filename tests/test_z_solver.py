@@ -180,3 +180,51 @@ def test_z_quadratic_objective():
     # z alone satisfies nothing (z gives activity 1 < 2); best is one of
     # x or y (activity 2, cost 1) — the pair costs 2 + 2 = 4
     assert compute_solution(pb, r) == 1.0
+
+
+def test_z_big_coefficients_gcd_dp():
+    """Coefficients >= 1e4 with a common factor: the gcd rescale keeps the
+    exact DP in play at any magnitude (VERDICT r3 item 4; reference:
+    branch-and-bound-solver.hpp:450-533 handles any int coefficients)."""
+    from baryonyx_tpu.ops.layout import compile_problem
+    from baryonyx_tpu.preprocess.merge import make_merged_constraints
+
+    terms = " + ".join(f"20000 x{i}" for i in range(16))
+    obj = " + ".join(f"{i + 1} x{i}" for i in range(16))
+    text = f"minimize\nobj: {obj}\nst\nc1: {terms} >= 40000\nend\n"
+    pb = bx.parse_lp(text)
+    ctx = bx.make_context(0)
+    cp = compile_problem(
+        make_merged_constraints(ctx, unpreprocess(ctx, pb)), 16
+    )
+    assert cp.Wdp > 0 and bool(cp.dp_row[0])  # scaled span 17 fits
+
+    pb, r = solve_ok(text)
+    # two variables needed; cheapest pair x0 + x1 -> 3
+    assert compute_solution(pb, r) == 3.0
+
+
+def test_z_big_coefficients_walk_fallback():
+    """Coprime-ish huge coefficients whose scaled span exceeds the DP
+    table: no crash — the row routes to the greedy walk and still solves
+    to a valid solution (the pre-r4 code raised NotImplementedError)."""
+    from baryonyx_tpu.ops.layout import compile_problem
+    from baryonyx_tpu.preprocess.merge import make_merged_constraints
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    w = [int(v) | 1 for v in rng.integers(90001, 110000, size=16)]
+    terms = " + ".join(f"{w[i]} x{i}" for i in range(16))
+    obj = " + ".join(f"{i + 1} x{i}" for i in range(16))
+    text = f"minimize\nobj: {obj}\nst\nc1: {terms} <= 300000\nend\n"
+    pb = bx.parse_lp(text)
+    ctx = bx.make_context(0)
+    cp = compile_problem(
+        make_merged_constraints(ctx, unpreprocess(ctx, pb)), 16
+    )
+    assert not (cp.Wdp and bool(cp.dp_row[0]))  # walk fallback
+
+    pb, r = solve_ok(text)
+    vals = r.solution_map()
+    assert sum(w[i] * vals[f"x{i}"] for i in range(16)) <= 300000
