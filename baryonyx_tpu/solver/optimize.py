@@ -643,10 +643,15 @@ def _budget_loop(
             # one packed fetch synchronizes the chunk and feeds the callback
             stats = np.asarray(stats_fn(state))
             dt_chunk = time.monotonic() - t_chunk
-            if dt_chunk < 0.35 and chunk < (1 << 14):
-                chunk = min(chunk * 4, 1 << 14)
-            elif dt_chunk > 1.5 and chunk > 1:
-                chunk = max(chunk // 2, 1)
+            # sweep-budget mode (no time limit) keeps the chunk FIXED:
+            # population-exchange points then depend only on the sweep
+            # count, making runs reproducible across hosts/process counts
+            # (asserted by tests/test_multihost.py)
+            if time_limit != float("inf"):
+                if dt_chunk < 0.35 and chunk < (1 << 14):
+                    chunk = min(chunk * 4, 1 << 14)
+                elif dt_chunk > 1.5 and chunk > 1:
+                    chunk = max(chunk // 2, 1)
             if ctx.update_cb:
                 ctx.update_cb(
                     int(stats[0]),

@@ -1,0 +1,72 @@
+"""Multi-process (DCN path) invariance: the process arrangement changes
+communication, not semantics (VERDICT r3 item 5).
+
+Spawns real worker processes over loopback jax.distributed — the same
+global 4-device mesh as 1x4 and 2x2 — with a fixed sweep budget
+(time_limit=0 keeps chunking deterministic, solver/optimize.py), and
+asserts both arrangements return the identical objective.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+repo, procs, devs, pid, port = (sys.argv[1], int(sys.argv[2]),
+                                int(sys.argv[3]), int(sys.argv[4]),
+                                int(sys.argv[5]))
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devs}"
+sys.path.insert(0, repo)
+import jax
+jax.config.update("jax_platforms", "cpu")
+if procs > 1:
+    from baryonyx_tpu.parallel.distributed import init_distributed
+    init_distributed(f"127.0.0.1:{port}", num_processes=procs, process_id=pid)
+import baryonyx_tpu as bx
+from baryonyx_tpu.generators import random_set_cover_lp
+from baryonyx_tpu.validate import compute_solution, is_valid_solution
+pb = bx.parse_lp(random_set_cover_lp(20, 60, 0.15, seed=9))
+ctx = bx.make_context(0)
+p = ctx.parameters
+p.seed = 11; p.time_limit = 0.0; p.limit = 300; p.chunk_size = 50
+p.thread = 8; p.init_population_size = 8
+r = bx.optimize(ctx, pb)
+ok = r.status == bx.ResultStatus.success and is_valid_solution(pb, r)
+val = compute_solution(pb, r) if ok else None
+print(f"INVAR ok={ok} value={val}", flush=True)
+"""
+
+
+def _launch(procs: int, devs: int, port: int):
+    ps = []
+    for i in range(procs):
+        ps.append(
+            subprocess.Popen(
+                [sys.executable, "-c", WORKER, REPO, str(procs), str(devs),
+                 str(i), str(port)],
+                cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=900)[0] for p in ps]
+    assert all(p.returncode == 0 for p in ps), outs
+    vals = []
+    for out in outs:
+        m = re.search(r"INVAR ok=(\w+) value=([\d.]+|None)", out)
+        assert m and m.group(1) == "True", out
+        vals.append(float(m.group(2)))
+    return vals
+
+
+def test_process_count_invariant_objective():
+    v1 = _launch(1, 4, 9551)
+    v2 = _launch(2, 2, 9553)
+    assert v1[0] == v2[0], (v1, v2)
+    assert v2[0] == v2[1]  # both workers report the same global result
