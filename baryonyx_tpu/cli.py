@@ -269,6 +269,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ctx = bx.make_context(verbose)
     ctx.set_parameters(params)
+    if verbose >= 5:
+        # the reference CLI echoes every parameter at start unless -q
+        # (reference: solver_started_cb, main.cpp:64-238)
+        from baryonyx_tpu.core.out import format_parameters
+
+        ctx.start_cb = lambda p: print(format_parameters(p), end="")
 
     if bench_csv:
         from baryonyx_tpu.bench.harness import benchmark

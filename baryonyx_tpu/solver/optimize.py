@@ -717,6 +717,18 @@ def optimize_compiled(
     params = ctx.parameters
     minimize = pb.type == ObjectiveType.minimize
     dtype = jnp.float64 if params.float_type == FloatType.float64 else jnp.float32
+    if dtype == jnp.float64 and jax.default_backend() != "cpu":
+        # the fused Pallas sweep is float32-only (ops/psweep.py plan());
+        # float64 silently routes to the jnp sweep at a large throughput
+        # cost. The float policy (documented in PARITY.md, asserted by
+        # tests/test_float64.py): delta/cost normalization run in f64 on
+        # host either way, and f32-vs-f64 objective parity holds on the
+        # fixture classes — float32 is the recommended device dtype.
+        ctx.warning(
+            "float_type=float64 disables the fused TPU kernel "
+            "(5-10x slower); float32 matches f64 objectives on the "
+            "reference fixture classes\n"
+        )
 
     if _osmod.environ.get("BARYONYX_ABLATE"):
         # a leftover ablation flag silently corrupts real solves (e.g.
@@ -846,6 +858,13 @@ def optimize_compiled(
         params, cost_orig_real, constraints, minimize, rng, P_size, evaluate
     )
     pop_x = np.pad(pop_x, ((0, 0), (0, pad)))
+    # sort best-first on HOST (same key as sort_population) so the device
+    # copy needs no sort and the host copy stays aligned for the replica
+    # init below — avoiding a device->host fetch through the tunnel
+    order0 = np.lexsort(
+        (pop_val if minimize else -pop_val, pop_rem)
+    )
+    pop_x, pop_val, pop_rem = pop_x[order0], pop_val[order0], pop_rem[order0]
     # padded variables carry zero hash weight so stray bits there (e.g.
     # from mutation) cannot defeat the population dedup
     hw_np = make_hash_weights(cp.n, seed)
@@ -857,7 +876,6 @@ def optimize_compiled(
         remaining=jnp.asarray(pop_rem, jnp.int32),
         hash=hash_x(jnp.asarray(pop_x, jnp.int32), hw),
     )
-    pop = sort_population(pop, minimize)
 
     if params.checkpoint_path:
         import os
@@ -896,6 +914,7 @@ def optimize_compiled(
                     ctx.notice(
                         "- resumed population from {}\n", params.checkpoint_path
                     )
+                    pop_x = np.asarray(pop.x)  # re-align the host copy
             except Exception as e:  # corrupted checkpoint: start fresh
                 ctx.warning("- checkpoint load failed: {}\n", e)
 
@@ -1024,7 +1043,9 @@ def optimize_compiled(
         init_idx = np.minimum(
             np.abs(rng.normal(0, 0.5, n_pop_draw)) * P_size, P_size - 1
         ).astype(np.int32)
-        x0_np[:n_pop_draw] = np.asarray(pop.x)[init_idx]
+        # use the HOST copy: np.asarray(pop.x) is a device->host round
+        # trip through the tunnel that can stall the whole init
+        x0_np[:n_pop_draw] = pop_x[init_idx]
     if not (
         params.init_mutation_value_mean == 0.0
         and params.init_mutation_value_stddev == 0.0

@@ -105,3 +105,36 @@ def test_optimize_update_callback():
     ctx.register(update=lambda rem, val, loop, dur, restarts: seen.append(rem))
     bx.optimize(ctx, pb)
     assert seen  # progress callback fired at least once
+
+
+def test_greedy_cover_seeds_population():
+    """Cover instances get ratio-greedy population seeds: feasible and
+    far below the bastert/random members (solver/population.py)."""
+    import numpy as np
+
+    import baryonyx_tpu as bx
+    from baryonyx_tpu.preprocess import unpreprocess
+    from baryonyx_tpu.preprocess.merge import make_merged_constraints
+    from baryonyx_tpu.solver import common
+    from baryonyx_tpu.solver.population import greedy_cover
+    from baryonyx_tpu.generators import random_set_cover_lp
+    from baryonyx_tpu.validate import is_valid_solution_values
+
+    pb = bx.parse_lp(random_set_cover_lp(60, 200, 0.05, seed=2))
+    ctx = bx.make_context(0)
+    csts = make_merged_constraints(ctx, unpreprocess(ctx, pb))
+    n = len(pb.vars.names)
+    c = common.build_cost_vector(pb, n)
+    rng = np.random.default_rng(0)
+    g = greedy_cover(c, csts, rng, noise=0.1)
+    assert g is not None
+    assert is_valid_solution_values(pb, [int(v) for v in g])
+
+    # non-cover structure (equalities) is refused
+    pb2 = bx.parse_lp(
+        "minimize\nx + y\nsubject to\nx + y = 1\nbinary\nx y\nend\n"
+    )
+    csts2 = make_merged_constraints(ctx, unpreprocess(ctx, pb2))
+    assert greedy_cover(
+        common.build_cost_vector(pb2, 2), csts2, rng, 0.1
+    ) is None
