@@ -45,24 +45,20 @@ def hash_x(x: jax.Array, weights: jax.Array) -> jax.Array:
     return jnp.sum(x.astype(jnp.uint32) * weights, axis=-1)
 
 
-def _cover_structure(constraints):
-    """(rows_vars, bmin) when every constraint is a 0/1-coefficient
-    covering row (a >= b with b >= 1), else None."""
+def _unit_structure(constraints):
+    """(rows_vars, bmin, bmax) when every constraint has all-+1
+    coefficients (covers / partitions / packing mixes), else None."""
     rows = []
     bmin = []
+    bmax = []
     for cst in constraints:
-        if cst.min < 1 or cst.max < len(cst.elements):
-            # not a pure >=-cover (equality or bounded-above row)
-            if cst.max < 2**31 - 2 and cst.max < len(cst.elements):
-                return None
-            if cst.min < 1:
-                return None
         for el in cst.elements:
             if el.factor != 1:
                 return None
         rows.append(np.array([el.variable_index for el in cst.elements]))
-        bmin.append(cst.min)
-    return rows, np.array(bmin, np.int64)
+        bmin.append(max(cst.min, 0))
+        bmax.append(min(cst.max, len(cst.elements)))
+    return rows, np.array(bmin, np.int64), np.array(bmax, np.int64)
 
 
 def greedy_cover(
@@ -71,21 +67,25 @@ def greedy_cover(
     rng: np.random.Generator,
     noise: float,
 ) -> "np.ndarray | None":
-    """Randomized ratio greedy for covering instances (Chvatal's
-    heuristic + redundancy prune): repeatedly set the variable with the
-    best noised cost-per-newly-covered-deficit ratio, then drop set
-    variables whose removal keeps feasibility, cheapest-last.
+    """Randomized ratio greedy for all-+1-coefficient instances
+    (covers, partitions, assignment-with-packing mixes): repeatedly set
+    the variable with the best noised cost-per-newly-covered-deficit
+    ratio among those that violate no upper bound, then drop set
+    variables whose removal keeps every row in range, priciest-first
+    (Chvatal's set-cover heuristic generalized to two-sided rows).
 
     No reference analogue — the reference's pre-solve init fills rows in
     index order (itm-common.hpp:284-374); the global ratio rule lands the
     initial population 8-12% closer to the optimum on OR-Library-class
     covers, which is what the first seconds of a short-budget optimize
-    run otherwise spend rediscovering. Returns None when the instance is
-    not a pure cover."""
-    struct = _cover_structure(constraints)
+    run otherwise spend rediscovering. Dead ends (no variable can help
+    without breaking a bmax) return the partial assignment — still a
+    high-quality near-feasible seed the replica repair closes. Returns
+    None when some coefficient is not +1."""
+    struct = _unit_structure(constraints)
     if struct is None:
         return None
-    rows, bmin = struct
+    rows, bmin, bmax = struct
     n = len(c_orig)
     m = len(rows)
     cols: list = [[] for _ in range(n)]
@@ -94,28 +94,37 @@ def greedy_cover(
             cols[j].append(k)
     cols = [np.array(v, np.int64) if v else np.zeros(0, np.int64) for v in cols]
 
-    deficit = bmin.astype(np.int64).copy()
+    act = np.zeros(m, np.int64)
     x = np.zeros(n, np.int32)
     cost = np.abs(c_orig) * (1.0 + noise * rng.random(n)) + 1e-9
-    # gain[j] = number of still-deficient rows j would help
-    gain = np.array([np.sum(deficit[ck] > 0) for ck in cols], np.int64)
+    # gain[j] = deficient rows j helps; blocked[j] = rows already at bmax
+    gain = np.array([np.sum(bmin[ck] > 0) for ck in cols], np.int64)
+    blocked = np.zeros(n, bool)
+    deficit = bmin.copy()
     while (deficit > 0).any():
-        ratio = np.where(gain > 0, cost / np.maximum(gain, 1), np.inf)
+        ratio = np.where(
+            (gain > 0) & ~blocked & (x == 0),
+            cost / np.maximum(gain, 1),
+            np.inf,
+        )
         j = int(np.argmin(ratio))
         if not np.isfinite(ratio[j]):
-            return None  # uncoverable (shouldn't happen on valid input)
+            break  # dead end: return the partial seed
         x[j] = 1
         for k in cols[j]:
+            act[k] += 1
             if deficit[k] > 0:
                 deficit[k] -= 1
                 if deficit[k] == 0:
                     for j2 in rows[k]:
                         gain[j2] -= 1
+            if act[k] >= bmax[k]:
+                # row is full: every unset variable of the row is blocked
+                for j2 in rows[k]:
+                    if not x[j2]:
+                        blocked[j2] = True
         gain[j] = 0
-    # prune: activities per row, then drop redundant set variables
-    act = np.zeros(m, np.int64)
-    for k, vs in enumerate(rows):
-        act[k] = np.sum(x[vs])
+    # prune: drop redundant set variables, priciest-first
     for j in np.argsort(-np.abs(c_orig)):
         if x[j] and all(act[k] > bmin[k] for k in cols[j]):
             x[j] = 0

@@ -130,11 +130,19 @@ def test_greedy_cover_seeds_population():
     assert g is not None
     assert is_valid_solution_values(pb, [int(v) for v in g])
 
-    # non-cover structure (equalities) is refused
+    # two-sided rows (equalities) respect the upper bound
     pb2 = bx.parse_lp(
         "minimize\nx + y\nsubject to\nx + y = 1\nbinary\nx y\nend\n"
     )
     csts2 = make_merged_constraints(ctx, unpreprocess(ctx, pb2))
+    g2 = greedy_cover(common.build_cost_vector(pb2, 2), csts2, rng, 0.1)
+    assert g2 is not None and g2.sum() == 1
+
+    # non-unit coefficients are refused
+    pb3 = bx.parse_lp(
+        "minimize\nx + y\nsubject to\n2 x + y >= 2\nbinary\nx y\nend\n"
+    )
+    csts3 = make_merged_constraints(ctx, unpreprocess(ctx, pb3))
     assert greedy_cover(
-        common.build_cost_vector(pb2, 2), csts2, rng, 0.1
+        common.build_cost_vector(pb3, 2), csts3, rng, 0.1
     ) is None
