@@ -629,6 +629,7 @@ def _budget_loop(
     budget_t0: float,
     last_ckpt: float,
     bound_fn=None,
+    probe_fn=None,
 ) -> "OptState":
     """The host-side chunk loop: run `chunk` evolve steps at a time until
     the wall-clock budget or the total sweep budget is exhausted
@@ -678,6 +679,12 @@ def _budget_loop(
                         "gap {:.2f}%\n",
                         int(stats[2]), lb, best, gap,
                     )
+            if probe_fn is not None:
+                # --debug: device-state invariants per chunk
+                # (reference: bx_assert layer, debug.hpp:75-117)
+                from baryonyx_tpu.core.contracts import validate_replica_state
+
+                validate_replica_state(probe_fn(state), "optimize chunk")
             if params.checkpoint_path and (
                 time.monotonic() - last_ckpt >= params.checkpoint_every
             ):
@@ -1208,6 +1215,27 @@ def optimize_compiled(
     # matching the reference's 1 Hz progress cadence
     # (itm-optimizer-common.hpp:836-857) without throttling the device.
     chunk = max(1, params.chunk_size)
+    probe_fn = None
+    if params.debug and jax.process_count() == 1:
+        @jax.jit
+        def _probe(st):
+            rs = st.replicas
+            return dict(
+                pi_absmax=jnp.max(jnp.abs(rs.pi)),
+                P_absmax=jnp.max(jnp.abs(rs.P)),
+                x_min=jnp.min(rs.x),
+                x_max=jnp.max(rs.x),
+                kappa_max=jnp.max(rs.kappa),
+                remaining_min=jnp.min(
+                    jnp.sum(rs.viol.astype(jnp.int32), axis=0)
+                ),
+            )
+
+        def probe_fn(st):
+            d = {k: np.asarray(v) for k, v in _probe(st).items()}
+            d["m"] = cp.m_real
+            return d
+
     bound_fn = None
     if params.print_level > 0 and jax.process_count() == 1:
         def bound_fn(st):
@@ -1221,6 +1249,7 @@ def optimize_compiled(
     state = _budget_loop(
         ctx, params, state, run_evolve, stats_fn, chunk, time_limit,
         sweep_budget, budget_t0, last_ckpt, bound_fn=bound_fn,
+        probe_fn=probe_fn,
     )
 
     # extraction (reference: :869-900); best LAST to match Result.best

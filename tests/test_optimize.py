@@ -146,3 +146,34 @@ def test_greedy_cover_seeds_population():
     assert greedy_cover(
         common.build_cost_vector(pb3, 2), csts3, rng, 0.1
     ) is None
+
+
+def test_debug_contracts_probe():
+    """--debug runs the bx_assert device-state validator per chunk
+    (core/contracts.py; reference: debug.hpp:75-117)."""
+    import baryonyx_tpu as bx
+    from baryonyx_tpu.core.contracts import (
+        ContractError, bx_ensures, bx_expects, validate_replica_state,
+    )
+    from baryonyx_tpu.generators import random_set_cover_lp
+    import pytest as _pytest
+
+    pb = bx.parse_lp(random_set_cover_lp(20, 60, 0.15, seed=1))
+    ctx = bx.make_context(0)
+    p = ctx.parameters
+    p.seed = 3
+    p.time_limit = 0.0
+    p.limit = 60
+    p.thread = 8
+    p.debug = True
+    r = bx.optimize(ctx, pb)  # must not raise
+    assert r.status == bx.ResultStatus.success
+
+    with _pytest.raises(ContractError):
+        bx_expects(False, "nope")
+    bx_ensures(True)
+    with _pytest.raises(ContractError):
+        validate_replica_state(
+            dict(pi_absmax=float("nan"), P_absmax=1.0, x_min=0, x_max=1,
+                 kappa_max=0.1, remaining_min=0, m=5)
+        )
