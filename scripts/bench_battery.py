@@ -91,21 +91,24 @@ def ref_run(lp: str, budget: float):
     return float(m.group(1)) if m else None
 
 
-def our_run(lp: str, budget: float):
-    try:
-        r = subprocess.run(
-            [sys.executable, "-m", "baryonyx_tpu.cli", "--optimize",
-             "-p", f"time-limit:{budget}", lp],
-            capture_output=True, text=True, timeout=budget * 6 + 3600,
-            cwd=REPO,
-        )
-        out = r.stdout + r.stderr
-    except subprocess.TimeoutExpired:
-        return None
-    if "success" not in out:
-        return None
-    m = re.search(r"Objective value: (-?[\d.e+]+)", out)
-    return float(m.group(1)) if m else None
+def our_run(lp: str, budget: float, retries: int = 2):
+    # wedged-relay sessions are killed and retried in a fresh process
+    # (see scripts/head_to_head.py:our_run)
+    for attempt in range(retries + 1):
+        cap = budget * 6 + (2400 if attempt == 0 else 900)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "baryonyx_tpu.cli", "--optimize",
+                 "-p", f"time-limit:{budget}", lp],
+                capture_output=True, text=True, timeout=cap, cwd=REPO,
+            )
+            out = r.stdout + r.stderr
+        except subprocess.TimeoutExpired:
+            continue
+        if "success" in out:
+            m = re.search(r"Objective value: (-?[\d.e+]+)", out)
+            return float(m.group(1)) if m else None
+    return None
 
 
 def main():

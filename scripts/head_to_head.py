@@ -81,26 +81,37 @@ def ref_run(lp: str, args, timeout: float, count: bool = False):
     return {"value": value, "wall": wall, "sweeps": sweeps, "rows": rows}
 
 
-def our_run(lp: str, budget: float):
+def our_run(lp: str, budget: float, retries: int = 2):
     """Run our CLI (TPU). Internal time budget = budget; wall includes
     compile (first-touch XLA/Mosaic compiles of a big new shape through
-    the axon tunnel run 10-30 min), which we report separately. A timeout
-    records a null result instead of killing the harness."""
+    the axon tunnel run 10-30 min), which we report separately.
+
+    The remote-TPU relay occasionally wedges a session indefinitely (the
+    process sits in epoll with the device never answering; a FRESH
+    process works fine at the same moment) — so a run that exceeds its
+    cap is killed by PID and retried in a new process instead of
+    poisoning the measurement."""
     t0 = time.perf_counter()
-    try:
-        r = subprocess.run(
-            [
-                sys.executable, "-m", "baryonyx_tpu.cli", "--optimize",
-                "-p", f"time-limit:{budget}", lp,
-            ],
-            capture_output=True,
-            text=True,
-            timeout=budget * 4 + 3600,
-            cwd=REPO,
-        )
-        out = r.stdout + r.stderr
-    except subprocess.TimeoutExpired:
-        out = ""
+    out = ""
+    for attempt in range(retries + 1):
+        cap = budget * 4 + (3600 if attempt == 0 else 900)
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable, "-m", "baryonyx_tpu.cli", "--optimize",
+                    "-p", f"time-limit:{budget}", lp,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=cap,
+                cwd=REPO,
+            )
+            out = r.stdout + r.stderr
+        except subprocess.TimeoutExpired:
+            out = ""
+            continue  # wedged session: retry in a fresh process
+        if "success" in out:
+            break
     wall = time.perf_counter() - t0
     value = None
     m = re.search(r"Objective value: (-?[\d.e+]+)", out)
