@@ -343,7 +343,17 @@ def _evolve_impl(
         i2 = pick(k2)
         i2 = jnp.where(i2 == i1, (i1 + 1) % Psize, i2)
         first = pop.x[i1].T  # [n, R]
-        use_special = jax.random.bernoulli(k3, hp["bastert_insertion"], (R,))
+        # exploration stream: a fixed 1/8 of the replica lanes never
+        # crossover — they restart from bastert/random every time, so the
+        # fleet keeps probing fresh basins after the population has
+        # converged (population-takeover guard; the reference's 2-8
+        # threads never converge this hard, 2048 lanes do: n-queens
+        # instance 3 locks onto a 14%-worse local optimum from 3 of 4
+        # seeds without this)
+        explore = jnp.arange(R) < max(R // 8, 1)
+        use_special = explore | jax.random.bernoulli(
+            k3, hp["bastert_insertion"], (R,)
+        )
         special = jnp.where(
             jax.random.bernoulli(k4, 0.5, (R,))[None, :],
             bastert_x[:, None],
@@ -352,6 +362,9 @@ def _evolve_impl(
         other = jnp.where(use_special[None, :], special, pop.x[i2].T)
         take2 = jax.random.bernoulli(k6, 0.5, (n, R))
         crossed = jnp.where(take2 & (first != other), other, first)
+        # explore lanes take the fresh start wholesale (no population
+        # genes), not a 50/50 cross with a converged member
+        crossed = jnp.where(explore[None, :], special, crossed)
 
         # ladder restarts keep x; crossover restarts replace it
         nx = jnp.where((~ladder)[None, :], crossed, x)
