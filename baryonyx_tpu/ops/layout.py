@@ -150,6 +150,9 @@ def compile_problem(
     n_variables: int,
     dtype: Any = jnp.float32,
     qelements=None,
+    min_m: int = 0,
+    min_kr: int = 0,
+    min_kc: int = 0,
 ) -> CompiledProblem:
     """Build the padded row/column views from merged constraints.
 
@@ -170,14 +173,16 @@ def compile_problem(
     if m_real == 0:
         raise ValueError("cannot compile a problem with no constraints")
 
-    m = _bucket(m_real, 64)
+    # min_* force shared padded dims across row shards
+    # (parallel/rowshard.py stacks per-shard compilations)
+    m = max(_bucket(m_real, 64), min_m)
     n = _bucket(n_real, 128)
-    Kr = _bucket(max(len(c.elements) for c in constraints), 8)
+    Kr = max(_bucket(max(len(c.elements) for c in constraints), 8), min_kr)
     col_count = np.zeros(n, dtype=np.int64)
     for c in constraints:
         for el in c.elements:
             col_count[el.variable_index] += 1
-    Kc = _bucket(int(col_count.max()) if n_real else 1, 8)
+    Kc = max(_bucket(int(col_count.max()) if n_real else 1, 8), min_kc)
 
     row_vars = np.zeros((m, Kr), dtype=np.int32)
     row_factor = np.zeros((m, Kr), dtype=np.float64)

@@ -1,0 +1,270 @@
+"""Constraint (row) sharding: the problem itself split across devices.
+
+The reference never shards the problem — every thread owns the full
+matrix (SURVEY.md §2.9: "every thread holds the full problem"); this is
+the v2-stretch capability for instances whose P matrix exceeds a single
+chip's HBM: rows (constraints) partition across the mesh, so the
+dominant state P [m, Kr, R] and pi [m, R] shard on the row axis while
+x/S [n, R] replicate.
+
+Design (one sweep):
+  - each device runs the ordinary jnp sweep (ops/sweep.py) over ITS row
+    shard — decisions see sweep-entry prices for other shards' rows
+    (shard-level Jacobi, the same argument as the kernel's block-Jacobi:
+    stale cross-block prices decorrelate row decisions);
+  - x merges by flip-union: a variable flipped by any shard takes the
+    flipped value (binary variables make opposing flips identical, so
+    the rule is deterministic and order-free);
+  - the merged column sums S recompute exactly from the local shards and
+    combine with one psum — the only per-sweep collective, riding ICI.
+
+Shards are built as a STACKED CompiledProblem pytree: arrays [D, ...]
+sharded on axis 0, static dims equal across shards (each shard padded to
+the same row count and row width with never-violated dummy rows), so
+inside shard_map every device squeezes to a plain local CompiledProblem
+and reuses the single-chip sweep unchanged.
+
+Scope: 01/±1 rows, linear costs (Z rows and quadratic objectives keep
+the replicated path — their per-row subsolvers want whole-problem
+tables). Feasibility and objective checks run on the merged x, so the
+path is exact about *what* it accepts; only the sweep trajectory
+differs, as with every other parallel schedule in this framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from baryonyx_tpu.ops.layout import CompiledProblem, compile_problem
+from baryonyx_tpu.ops.sweep import sweep, violated_mask
+from baryonyx_tpu.preprocess.merge import MergedConstraint
+
+
+def compile_row_shards(
+    constraints: List[MergedConstraint],
+    n_variables: int,
+    n_shards: int,
+    dtype=jnp.float32,
+) -> CompiledProblem:
+    """Split constraints into ``n_shards`` row groups and compile each
+    with identical padded shapes; returns one stacked pytree whose array
+    leaves have a leading [D] shard axis."""
+    m = len(constraints)
+    per = (m + n_shards - 1) // n_shards
+    groups: List[List[MergedConstraint]] = []
+    for d in range(n_shards):
+        grp = list(constraints[d * per : (d + 1) * per])
+        while len(grp) < per:
+            # never-violated single-element dummy row (bounds [0, 1] hold
+            # for any binary assignment) pads short shards to ``per``
+            grp.append(
+                MergedConstraint(
+                    elements=[type(constraints[0].elements[0])(1, 0)],
+                    min=0,
+                    max=1,
+                    id=-1,
+                )
+            )
+        groups.append(grp)
+    # two passes: measure each shard's natural buckets, then recompile
+    # with the shared maxima so the stacked arrays agree shape-wise
+    probe = [compile_problem(g, n_variables, dtype=dtype) for g in groups]
+    mm = max(c.m for c in probe)
+    kr = max(c.Kr for c in probe)
+    kc = max(c.Kc for c in probe)
+    cps = [
+        compile_problem(
+            g, n_variables, dtype=dtype, min_m=mm, min_kr=kr, min_kc=kc
+        )
+        for g in groups
+    ]
+    c0 = cps[0]
+    for c in cps[1:]:
+        assert (c.m, c.n, c.Kr, c.Kc) == (c0.m, c0.n, c0.Kr, c0.Kc)
+    # sel_reduction analysis must hold for EVERY shard simultaneously
+    # (static kernel parameters are shared)
+    J_bot = max(c.J_bot for c in cps)
+    J_top = max(c.J_top for c in cps)
+    sel_ok = all(c.sel_reduction_ok for c in cps)
+    unit = all(c.all_unit_pos for c in cps)
+
+    def stack(field_name):
+        vals = [getattr(c, field_name) for c in cps]
+        if vals[0] is None:
+            return None
+        return jnp.stack(vals)
+
+    array_fields = [
+        f.name
+        for f in dataclasses.fields(CompiledProblem)
+        if not f.metadata.get("static", False)
+    ]
+    kwargs = {name: stack(name) for name in array_fields}
+    static = {
+        f.name: getattr(c0, f.name)
+        for f in dataclasses.fields(CompiledProblem)
+        if f.metadata.get("static", False)
+    }
+    static.update(J_bot=J_bot, J_top=J_top, sel_reduction_ok=sel_ok,
+                  all_unit_pos=unit)
+    return CompiledProblem(**kwargs, **static)
+
+
+def _squeeze_cp(cp_stacked: CompiledProblem) -> CompiledProblem:
+    """Local view inside shard_map: drop the leading [1] shard axis."""
+    def sq(x):
+        return None if x is None else x[0]
+
+    array_fields = [
+        f.name
+        for f in dataclasses.fields(CompiledProblem)
+        if not f.metadata.get("static", False)
+    ]
+    kwargs = {n: sq(getattr(cp_stacked, n)) for n in array_fields}
+    static = {
+        f.name: getattr(cp_stacked, f.name)
+        for f in dataclasses.fields(CompiledProblem)
+        if f.metadata.get("static", False)
+    }
+    return CompiledProblem(**kwargs, **static)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "minimize", "block_size")
+)
+def sweep_row_sharded(
+    cp_stacked: CompiledProblem,  # leaves [D, ...]
+    x: jax.Array,  # int32[n, R] (replicated)
+    P_rows: jax.Array,  # f[D, m_loc, Kr, R] (sharded dim 0)
+    pi: jax.Array,  # f[D, m_loc, R]
+    cost: jax.Array,  # f[n]
+    kappa: jax.Array,  # f[R]
+    delta: jax.Array,
+    theta: jax.Array,
+    key: jax.Array,
+    mesh: Mesh,
+    minimize: bool = True,
+    block_size: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One row-sharded sweep. Returns (x, P, pi, remaining[R])."""
+    axis = mesh.axis_names[0]
+    m_loc = cp_stacked.m
+    R = pi.shape[-1]
+    B = block_size
+    mp = ((m_loc + B - 1) // B) * B
+
+    def cp_spec(x_):
+        return None if x_ is None else P(axis)
+
+    cp_specs = jax.tree_util.tree_map(cp_spec, cp_stacked)
+
+    def body(cp_s, x, P_l, pi_l, key):
+        cp = _squeeze_cp(cp_s)
+        P_l = P_l[0]
+        pi_l = pi_l[0]
+        shard = jax.lax.axis_index(axis)
+        k = jax.random.fold_in(key, shard)
+        viol = violated_mask(cp, x)
+        order = jnp.concatenate(
+            [jnp.arange(m_loc, dtype=jnp.int32),
+             jnp.full((mp - m_loc,), m_loc, jnp.int32)]
+        )
+        x2, P2, pi2, _, _, _ = sweep(
+            cp, x, P_l, pi_l, cost, viol, order, kappa, delta, theta, k,
+            jnp.zeros((R,), cost.dtype), minimize=minimize,
+            block_size=block_size,
+        )
+        # flip-union merge: binary variables make opposing flips equal
+        flips = jax.lax.psum((x2 != x).astype(jnp.int32), axis)
+        x_m = jnp.where(flips > 0, 1 - x, x)
+        # exact merged column sums for the NEXT sweep are recomputed by
+        # the caller; here return the local remaining count contribution
+        viol2 = violated_mask(cp, x_m)
+        # mask the dummy padding rows (id -1 built with bounds [0, kmax])
+        rem = jax.lax.psum(
+            jnp.sum(viol2.astype(jnp.int32), axis=0), axis
+        )
+        return x_m, P2[None], pi2[None], rem
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(cp_specs, P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return fn(cp_stacked, x, P_rows, pi, key)
+
+
+def solve_row_sharded(
+    constraints: List[MergedConstraint],
+    n: int,
+    cost_norm: np.ndarray,
+    minimize: bool,
+    mesh: Mesh,
+    R: int = 16,
+    sweeps: int = 200,
+    kappa_min: float = 0.0,
+    kappa_step: float = 1e-3,
+    kappa_max: float = 0.6,
+    delta: float = 0.01,
+    theta: float = 0.5,
+    w: int = 10,
+    alpha: float = 1.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """Minimal annealed feasibility driver over the row-sharded sweep:
+    returns (best x [n], best remaining). Demonstrates the
+    constraint-sharding capability end-to-end (BASELINE 'instances larger
+    than HBM' configuration); the full optimize driver keeps the
+    replicated-problem path."""
+    D = mesh.devices.size
+    cp_s = compile_row_shards(constraints, n, D)
+    n_pad = cp_s.n
+    m_loc, Kr = cp_s.m, cp_s.Kr
+    key = jax.random.key(seed)
+    x = jnp.zeros((n_pad, R), jnp.int32)
+    P_rows = jax.device_put(
+        jnp.zeros((D, m_loc, Kr, R), jnp.float32),
+        NamedSharding(mesh, P(mesh.axis_names[0])),
+    )
+    pi = jax.device_put(
+        jnp.zeros((D, m_loc, R), jnp.float32),
+        NamedSharding(mesh, P(mesh.axis_names[0])),
+    )
+    cost = jnp.asarray(np.pad(cost_norm, (0, n_pad - len(cost_norm))),
+                       jnp.float32)
+    m_real = len(constraints)
+
+    kappa = jnp.full((R,), kappa_min, jnp.float32)
+    best_rem = m_real + 1
+    best_x = np.zeros(n, np.int32)
+    for i in range(sweeps):
+        key, k = jax.random.split(key)
+        x, P_rows, pi, rem = sweep_row_sharded(
+            cp_s, x, P_rows, pi, cost, kappa,
+            jnp.float32(delta), jnp.float32(theta), k, mesh=mesh,
+            minimize=minimize,
+        )
+        rem_np = np.asarray(rem)
+        r0 = int(rem_np.min())
+        if r0 < best_rem:
+            best_rem = r0
+            lane = int(rem_np.argmin())
+            best_x = np.asarray(x[:n, lane])
+            if best_rem == 0:
+                break
+        if i > w:
+            kappa = kappa + kappa_step * (
+                (rem_np / max(m_real, 1)).astype(np.float32) ** alpha
+            )
+            if float(kappa.max()) > kappa_max:
+                break
+    return best_x, best_rem
