@@ -186,6 +186,25 @@ def _evolve_impl(
             == common.ORDER_CODES[ConstraintOrder.pi_sign_change]
         )
         sched = rs.viol | is_push[None, :] | process_all  # [m, R]
+        # schedule dither: the row-processing ORDER is shared across the
+        # lane axis (unlike the reference, where every thread owns its
+        # own order stream), which correlates all replica trajectories.
+        # Half the lanes randomly sit out 15% of their scheduled rows per
+        # sweep — a skipped violated row just reappears next sweep, but
+        # the desynchronized update sequences land replicas in different
+        # basins (n-queens-class instances lock onto one local optimum
+        # fleet-wide without this). Push lanes never skip.
+        k_skip = jax.random.fold_in(k_ord, 13)
+        dither_lane = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) % 2 == 1
+        )
+        skip = (
+            jax.random.bernoulli(k_skip, 0.15, (m, R))
+            & dither_lane
+            & ~is_push[None, :]
+            & ~process_all  # pi_sign_change is exact only over ALL rows
+        )
+        sched = sched & ~skip
 
         if _ablate("compact"):
             order2 = order
@@ -643,6 +662,8 @@ def _budget_loop(
     last_ckpt: float,
     bound_fn=None,
     probe_fn=None,
+    diversify_fn=None,
+    value_sign: float = 1.0,
 ) -> "OptState":
     """The host-side chunk loop: run `chunk` evolve steps at a time until
     the wall-clock budget or the total sweep budget is exhausted
@@ -650,6 +671,8 @@ def _budget_loop(
     length adapts so each host round trip buys ~0.5 s of device work.
     Ctrl-C returns the best population found so far instead of dying."""
     best_lb = float("-inf")  # bound_fn orientation: higher is tighter
+    best_seen = (np.inf, np.inf)  # (remaining, value) of the pool head
+    stagnant = 0
     try:
         while True:
             t_chunk = time.monotonic()
@@ -657,6 +680,20 @@ def _budget_loop(
             # one packed fetch synchronizes the chunk and feeds the callback
             stats = np.asarray(stats_fn(state))
             dt_chunk = time.monotonic() - t_chunk
+            # cataclysm on stagnation: when the pool head stops improving
+            # for several chunks, keep the elite fifth and re-randomize
+            # the rest — the 2048-lane fleet converges so hard that
+            # crossover alone re-discovers the same basin (no reference
+            # analogue; its 2-8 threads never collapse a 100-member pool)
+            cur = (float(stats[0]), value_sign * float(stats[1]))
+            if cur < best_seen:
+                best_seen = cur
+                stagnant = 0
+            else:
+                stagnant += 1
+            if diversify_fn is not None and stagnant >= 6:
+                state = diversify_fn(state)
+                stagnant = 0
             # sweep-budget mode (no time limit) keeps the chunk FIXED:
             # population-exchange points then depend only on the sweep
             # count, making runs reproducible across hosts/process counts
@@ -951,20 +988,19 @@ def optimize_compiled(
     # The reference's optimize-mode push walks the violated list, which is
     # empty right after feasibility — a no-op costing ~2 sweeps per round
     # (itm-optimizer-common.hpp:706-751 with itm-common.hpp:682-798), so
-    # its nominal budget (100 rounds x 50 recovery sweeps) is never spent.
-    # Our push actively re-optimizes the incumbent over every row;
-    # inheriting the nominal budget verbatim starves the restart loop that
-    # drives quality (measured on scp 200x1000 / 10 s: best 665-687 with
-    # the nominal budget vs 526-549 with one short push round — the
-    # reference binary reaches 569 on 8 CPU threads). When the caller left
-    # the reference defaults in place, use the tuned active-push budget.
-    _d = SolverParameters()
-    pushes_limit, push_iters = params.pushes_limit, params.pushing_iteration_limit
-    if (
-        pushes_limit == _d.pushes_limit
-        and push_iters == _d.pushing_iteration_limit
-    ):
-        pushes_limit, push_iters = 1, 10
+    # its nominal budget (e.g. 50-100 rounds x 10-50 recovery sweeps) is
+    # never actually spent there. Our push actively re-optimizes the
+    # incumbent over every row; spending the reference's NOMINAL budget
+    # actively starves the restart loop that drives quality (measured on
+    # scp 200x1000 / 10 s: best 665-687 nominal vs 526-549 active-short;
+    # n-queens instance 3 / 20 s: locked at 214 nominal vs the CPLEX
+    # golden 187 active-short). Any requested budget therefore maps onto
+    # its active-push equivalent — one amplified round, up to 10 recovery
+    # sweeps — because requested values were calibrated against the
+    # reference's free pushes. Solve mode honors the request verbatim
+    # (its push phase is real in the reference too).
+    pushes_limit = min(params.pushes_limit, 1)
+    push_iters = min(params.pushing_iteration_limit, 10)
     hp = dict(
         delta=jnp.asarray(delta, dtype),
         theta=jnp.asarray(params.theta, dtype),
@@ -1228,6 +1264,45 @@ def optimize_compiled(
     # matching the reference's 1 Hz progress cadence
     # (itm-optimizer-common.hpp:836-857) without throttling the device.
     chunk = max(1, params.chunk_size)
+    diversify_fn = None
+    if mesh is None:
+        # single-device pools only: under a mesh the population is
+        # device-sharded and per-shard tails would need shard-local keys
+        n_keep = max(P_size // 5, 1)
+        pad_mask = jnp.asarray(
+            (np.arange(cp.n) < n).astype(np.int32)
+        )
+
+        @jax.jit
+        def _diversify(st: OptState) -> OptState:
+            key, k1 = jax.random.split(st.key)
+            Psz = st.pop.x.shape[0]
+            rnd = (
+                jax.random.bernoulli(k1, 0.5, (Psz - n_keep, cp.n)).astype(
+                    jnp.int32
+                )
+                * pad_mask[None, :]
+            )
+            newx = jnp.concatenate([st.pop.x[:n_keep], rnd])
+            value = newx.astype(dtype) @ co + cc
+            if "qa" in hp:
+                value = value + (
+                    newx[:, hp["qa"]] * newx[:, hp["qb"]]
+                ).astype(dtype) @ hp["qfv"]
+            rem = jnp.sum(
+                violated_mask(cp, newx.T).astype(jnp.int32), axis=0
+            )
+            pop2 = sort_population(
+                Population(
+                    x=newx, value=value, remaining=rem,
+                    hash=hash_x(newx, hw),
+                ),
+                minimize,
+            )
+            return st._replace(pop=pop2, key=key)
+
+        diversify_fn = _diversify
+
     probe_fn = None
     if params.debug and jax.process_count() == 1:
         @jax.jit
@@ -1262,7 +1337,8 @@ def optimize_compiled(
     state = _budget_loop(
         ctx, params, state, run_evolve, stats_fn, chunk, time_limit,
         sweep_budget, budget_t0, last_ckpt, bound_fn=bound_fn,
-        probe_fn=probe_fn,
+        probe_fn=probe_fn, diversify_fn=diversify_fn,
+        value_sign=1.0 if minimize else -1.0,
     )
 
     # extraction (reference: :869-900); best LAST to match Result.best

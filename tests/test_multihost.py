@@ -70,3 +70,38 @@ def test_process_count_invariant_objective():
     v2 = _launch(2, 2, 9553)
     assert v1[0] == v2[0], (v1, v2)
     assert v2[0] == v2[1]  # both workers report the same global result
+
+
+DIVERSIFY_WORKER = r"""
+import os, sys
+repo = sys.argv[1]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)  # parent CI forces 8 virtual devices
+sys.path.insert(0, repo)
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 1
+import baryonyx_tpu as bx
+from baryonyx_tpu.generators import random_set_cover_lp
+from baryonyx_tpu.validate import is_valid_solution
+pb = bx.parse_lp(random_set_cover_lp(20, 60, 0.15, seed=9))
+ctx = bx.make_context(0)
+p = ctx.parameters
+p.seed = 11; p.time_limit = 0.0; p.limit = 900; p.chunk_size = 100
+p.thread = 8; p.init_population_size = 10
+r = bx.optimize(ctx, pb)
+ok = r.status == bx.ResultStatus.success and is_valid_solution(pb, r)
+print(f"DIVOK ok={ok}", flush=True)
+"""
+
+
+def test_single_device_cataclysm_path():
+    """Single-device pools hit the stagnation cataclysm (the tiny
+    instance converges in the first chunk; 9 chunks guarantee the
+    stagnation trigger fires) and must stay correct."""
+    p = subprocess.run(
+        [sys.executable, "-c", DIVERSIFY_WORKER, REPO],
+        cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "DIVOK ok=True" in p.stdout
