@@ -41,5 +41,18 @@ class ProblemDefinitionError(BaryonyxError):
         super().__init__(f"problem definition error on {element!r}: {message}")
 
 
+class InfeasibleConstraintError(BaryonyxError):
+    """A single constraint admits no feasible 0/1 assignment at all,
+    detected while compiling the problem layout (ops/layout.py). No
+    reference analogue — the reference's solvers iterate to a limit with
+    the row permanently violated; the drivers catch this and report a
+    limit_reached result with the violated row counted instead of
+    crashing."""
+
+    def __init__(self, constraint_id: str, message: str):
+        self.constraint_id = constraint_id
+        super().__init__(f"constraint {constraint_id!r}: {message}")
+
+
 class SolverError(BaryonyxError):
     """Internal solver failure (reference: core:240-284)."""

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from baryonyx_tpu.core.errors import InfeasibleConstraintError
 from baryonyx_tpu.preprocess.merge import MergedConstraint
 
 _INT_MIN = -(2**31)
@@ -284,9 +285,10 @@ def compile_problem(
                     blo = -(-int(bmin[k]) // g)  # ceil
                     bhi = int(bmax[k]) // g  # floor
                     if blo > bhi:
-                        raise ValueError(
-                            f"constraint {cst.id}: no feasible activity "
-                            f"(multiples of {g} in [{bmin[k]}, {bmax[k]}])"
+                        raise InfeasibleConstraintError(
+                            str(cst.id),
+                            f"no feasible activity (multiples of {g} in "
+                            f"[{bmin[k]}, {bmax[k]}])",
                         )
                     if span <= DP_W_MAX:
                         dp_row_np[k] = True
@@ -305,7 +307,9 @@ def compile_problem(
             act = bits @ factors
             feas = bits[(act >= bmin[k]) & (act <= bmax[k])]
             if feas.shape[0] == 0:
-                raise ValueError(f"constraint {cst.id}: no feasible assignment")
+                raise InfeasibleConstraintError(
+                    str(cst.id), "no feasible assignment"
+                )
             padded = np.zeros((feas.shape[0], Kr), dtype=np.int8)
             padded[:, :L] = feas
             per_row.append(padded)

@@ -81,6 +81,9 @@ from baryonyx_tpu.ops.sweep import column_sums, violated_mask
 LANE = 128
 MAX_B = 16  # block buffer rows held in VMEM
 MAX_KR = 1024  # beyond this even Gc=1 block buffers blow VMEM
+# quadratic costs ride a dense [n, n] neighbor matrix; past this the
+# matmul + VMEM cost flips and the jnp sweep with per-slot gathers wins
+QUAD_DENSE_MAX_N = 8192
 # 16 MB physical VMEM per core; leave headroom for Mosaic temporaries
 VMEM_BUDGET = 13 * 1024 * 1024
 # SMEM is small; measured headroom for the scalar-prefetch tables at the
@@ -157,7 +160,7 @@ def plan(
         return None
     # quadratic costs ride a dense [n, n] neighbor matrix (see psweep());
     # cap the instance size so that matmul and the extra VMEM stay sane
-    if cp.has_quad and cp.n > 8192:
+    if cp.has_quad and cp.n > QUAD_DENSE_MAX_N:
         return None
     if not cp.sel_reduction_ok:
         return None

@@ -187,7 +187,12 @@ def sweep_row_sharded(
         # exact merged column sums for the NEXT sweep are recomputed by
         # the caller; here return the local remaining count contribution
         viol2 = violated_mask(cp, x_m)
-        # mask the dummy padding rows (id -1 built with bounds [0, kmax])
+        # dummy padding rows need no mask here: they are built as a single
+        # +1-coefficient element with bounds [0, 1] (see _stack above),
+        # which NO binary assignment can violate — violated_mask is
+        # False on them by construction. If the dummy construction ever
+        # changes, this invariant must be re-established or these rows
+        # masked out of viol2 before the psum.
         rem = jax.lax.psum(
             jnp.sum(viol2.astype(jnp.int32), axis=0), axis
         )

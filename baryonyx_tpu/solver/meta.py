@@ -254,15 +254,18 @@ def branch_optimize(ctx: Context, raw: RawProblem) -> Result:
     minimize = pb.type == ObjectiveType.minimize
     node_limit = 16
     t0 = time.monotonic()
-    wall_budget = max(
-        (ctx.parameters.time_limit if ctx.parameters.time_limit > 0 else 10.0)
-        * 4.0,
-        20.0,
-    )
+    # The user's time_limit is the TOTAL branch budget, sliced across
+    # node evaluations exactly like nelder_mead_optimize slices its
+    # budget across simplex evaluations — the loop stops once the total
+    # is spent, so wall clock <= time_limit + one node's slice. (The
+    # reference gives every node a full budget with no termination
+    # condition at all, branch-optimizer.cpp:159-212.)
+    wall_budget = ctx.parameters.time_limit if ctx.parameters.time_limit > 0 else 10.0
 
     internal = copy.copy(ctx)
     internal.parameters = copy.copy(ctx.parameters)
     internal.parameters.mode = ModeType.none
+    internal.parameters.time_limit = max(wall_budget / 8.0, 0.5)
 
     best_res = optimize_compiled(internal, pb)
     best_score = _score(best_res, minimize)

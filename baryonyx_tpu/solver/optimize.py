@@ -48,6 +48,7 @@ from baryonyx_tpu.core.params import (
     SolverParameters,
     StorageType,
 )
+from baryonyx_tpu.core.errors import InfeasibleConstraintError
 from baryonyx_tpu.core.result import Result, ResultStatus, Solution
 from baryonyx_tpu.ops.layout import CompiledProblem, compile_problem
 from baryonyx_tpu.ops.sweep import sweep, violated_mask
@@ -389,11 +390,15 @@ def _evolve_impl(
         nx = jnp.where((~ladder)[None, :], crossed, x)
 
         # mutation (reference: :494-526); truncated-normal resampling
-        # approximated by |N| + clip
+        # approximated by |N| + clip. The variable-rate and value-rate
+        # draws are independent (distinct subkeys), matching the
+        # reference's two separate distributions and the host-side init
+        # path below.
+        k7a, k7b = jax.random.split(k7)
         var_p = jnp.clip(
             jnp.abs(
                 hp["mut_var_mean"]
-                + hp["mut_var_stddev"] * jax.random.normal(k7, (R,))
+                + hp["mut_var_stddev"] * jax.random.normal(k7a, (R,))
             ),
             1e-7,
             0.999,
@@ -401,7 +406,7 @@ def _evolve_impl(
         val_p = jnp.clip(
             jnp.abs(
                 hp["mut_val_mean"]
-                + hp["mut_val_stddev"] * jax.random.normal(k7, (R,))
+                + hp["mut_val_stddev"] * jax.random.normal(k7b, (R,))
             ),
             0.0,
             1.0,
@@ -807,9 +812,17 @@ def optimize_compiled(
         _finalize(ret, pb, len(constraints), t0)
         return ret
 
+    from baryonyx_tpu.core.params import ObserverType as _Obs
     from baryonyx_tpu.core.params import SolverType as _Sol
 
-    if hp_vectors is None and params.solver != _Sol.random:
+    # observer/debug runs want the real loop's trace (mirrors
+    # solve_compiled's gating); the --random baseline must stay random
+    if (
+        hp_vectors is None
+        and params.solver != _Sol.random
+        and params.observer == _Obs.none
+        and not params.debug
+    ):
         from baryonyx_tpu.solver.exact import exact_enumerate
 
         exact = exact_enumerate(pb, constraints, n)
@@ -818,6 +831,7 @@ def optimize_compiled(
             ctx.info(
                 "  - exact enumeration ({} variables): optimum {}\n", n, value
             )
+            ret.method += "+exact-enum"
             ret.status = ResultStatus.success
             ret.solutions.append(Solution([int(b) for b in bits], value))
             _finalize(ret, pb, len(constraints), t0)
@@ -827,9 +841,16 @@ def optimize_compiled(
     rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
 
-    cp = compile_problem(
-        constraints, n, dtype=dtype, qelements=pb.objective.qelements
-    )
+    try:
+        cp = compile_problem(
+            constraints, n, dtype=dtype, qelements=pb.objective.qelements
+        )
+    except InfeasibleConstraintError as e:
+        ctx.warning("  - infeasible at compile time: {}\n", e)
+        ret.status = ResultStatus.limit_reached
+        ret.remaining_constraints = 1
+        _finalize(ret, pb, len(constraints), t0)
+        return ret
     cost_orig_real = common.build_cost_vector(pb, n)
     quad_fac_norm = None
     if cp.has_quad:
@@ -1001,6 +1022,19 @@ def optimize_compiled(
     # (its push phase is real in the reference too).
     pushes_limit = min(params.pushes_limit, 1)
     push_iters = min(params.pushing_iteration_limit, 10)
+    if (params.pushes_limit, params.pushing_iteration_limit) not in (
+        (100, 50),  # the defaults — remapping those is the documented policy
+        (pushes_limit, push_iters),
+    ):
+        ctx.warning(
+            "optimize mode maps pushes_limit={}/pushing_iteration_limit={} "
+            "onto the active-push equivalent ({}/{}); solve mode honors the "
+            "requested values verbatim\n",
+            params.pushes_limit,
+            params.pushing_iteration_limit,
+            pushes_limit,
+            push_iters,
+        )
     hp = dict(
         delta=jnp.asarray(delta, dtype),
         theta=jnp.asarray(params.theta, dtype),
@@ -1044,8 +1078,23 @@ def optimize_compiled(
         use_cycle=jnp.asarray(params.order == ConstraintOrder.cycle, bool),
     )
     if cp.has_quad:
+        from baryonyx_tpu.ops.psweep import QUAD_DENSE_MAX_N
+
         hp["quad_fac"] = quad_fac_norm
-        if cp.n <= 8192:
+        if cp.n > QUAD_DENSE_MAX_N:
+            # the fused kernel's dense CQ matmul would need an n x n
+            # matrix; past the limit the sweep falls back to the jnp path
+            # with per-slot quadratic gathers — correct but much slower.
+            # Mirror the float64 policy: tell the user instead of silently
+            # leaving the fast path.
+            ctx.warning(
+                "quadratic objective with {} variables exceeds the fused "
+                "kernel's {}-variable dense limit; using the (slower) "
+                "unfused sweep\n",
+                cp.n,
+                QUAD_DENSE_MAX_N,
+            )
+        if cp.n <= QUAD_DENSE_MAX_N:
             # dense normalized neighbor matrix for the fused kernel's
             # sweep-entry CQ matmul (ops/psweep.py quadratic path)
             qm_np = np.asarray(cp.quad_mask)

@@ -24,6 +24,7 @@ import numpy as np
 from baryonyx_tpu.core.context import Context
 from baryonyx_tpu.core.model import ObjectiveType, Problem
 from baryonyx_tpu.core.params import ConstraintOrder, FloatType, SolverParameters
+from baryonyx_tpu.core.errors import InfeasibleConstraintError
 from baryonyx_tpu.core.result import Result, ResultStatus, Solution
 from baryonyx_tpu.ops.layout import CompiledProblem, compile_problem
 from baryonyx_tpu.ops.sweep import sweep, violated_mask
@@ -419,6 +420,7 @@ def solve_compiled(
         ctx.info(
             "  - exact enumeration ({} variables): optimum {}\n", n, value
         )
+        ret.method += "+exact-enum"
         ret.status = ResultStatus.success
         ret.solutions.append(Solution([int(b) for b in bits], value))
         _finalize(ret, pb, len(constraints), t0)
@@ -429,9 +431,18 @@ def solve_compiled(
     if key is None:
         key = jax.random.key(seed)
 
-    cp = compile_problem(
-        constraints, n, dtype=dtype, qelements=pb.objective.qelements
-    )
+    try:
+        cp = compile_problem(
+            constraints, n, dtype=dtype, qelements=pb.objective.qelements
+        )
+    except InfeasibleConstraintError as e:
+        # a provably-unsatisfiable row: report what the solver loop would
+        # have reported after exhausting its budget (row stays violated)
+        ctx.warning("  - infeasible at compile time: {}\n", e)
+        ret.status = ResultStatus.limit_reached
+        ret.remaining_constraints = 1
+        _finalize(ret, pb, len(constraints), t0)
+        return ret
     cost_orig_real = common.build_cost_vector(pb, n)
     quad_fac_norm = None
     if cp.has_quad:
@@ -610,6 +621,12 @@ def solve_compiled(
 
 
 def _finalize(ret: Result, pb: Problem, n_constraints: int, t0: float) -> None:
+    # Result.method records the route that produced the solution so
+    # artifacts are self-describing (exact enumeration and product-fold
+    # short-circuit the dual-descent kernel; the reference's result always
+    # reflects its solver loop, core:716)
+    if len(pb.derived_vars) and "product-fold" not in ret.method:
+        ret.method += "+product-fold"
     ret.variable_name = list(pb.vars.names)
     ret.affected_vars = pb.affected_vars
     ret.derived_vars = pb.derived_vars
