@@ -13,6 +13,9 @@ file writing :1240-1270, --check :1227-1239):
   --disable-preprocessing | -np
   --auto:manual|nlopt|branch meta-optimizer mode
   --check file.sol           validate a solution file against the model
+  --warmup                   pre-compile this instance's shape class into
+                             the persistent cache (no solve); later runs
+                             of same-bucket instances start warm
   --random                   random baseline solver
   --bench file.csv           benchmark harness over a CSV suite
   --quiet / --verbose | -v N logging
@@ -195,6 +198,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     verbose = 5
     optimize = False
     check_file: Optional[str] = None
+    warmup = False
     bench_csv: Optional[str] = None
     bench_name = "bx-tpu"
     files: List[str] = []
@@ -260,6 +264,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             verbose = int(argv[i])
         elif arg == "--debug":
             params.debug = True
+        elif arg == "--warmup":
+            warmup = True
         elif arg.startswith("-"):
             print(f"unknown option {arg!r}", file=sys.stderr)
             return 1
@@ -305,6 +311,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"{check_file}: {'valid' if ok else 'INVALID'}")
             if ok:
                 print(f"objective: {compute_solution(pb, res)}")
+            continue
+
+        if warmup:
+            # Pre-compile every executable for this instance's bucketed
+            # shape class (ops/layout.py:_bucket) into the persistent
+            # compile cache, without solving: later runs of any instance
+            # in the same buckets pay only dispatch (~1.2x budget wall
+            # instead of cold XLA/Mosaic compiles through the tunnel).
+            t0 = time.monotonic()
+            import copy as _copy
+
+            wctx = bx.make_context(min(verbose, 4))
+            wp = _copy.copy(ctx.parameters)
+            wp.time_limit = 0.2
+            wctx.set_parameters(wp)
+            wres = bx.optimize(wctx, pb) if optimize else bx.solve(wctx, pb)
+            ctx.notice(
+                "- warmed {} ({} mode) in {:.1f}s\n",
+                path,
+                "optimize" if optimize else "solve",
+                time.monotonic() - t0,
+            )
             continue
 
         t0 = time.monotonic()

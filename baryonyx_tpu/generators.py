@@ -306,3 +306,68 @@ def telebus_crew_lp(
     out.append(" ".join(f"x{j}" for j in range(len(cols))))
     out.append("end")
     return "\n".join(out) + "\n"
+
+
+def random_qsap_lp(
+    groups: int,
+    choices: int,
+    quad_per_var: int = 8,
+    lin_range=(-50, 50),
+    quad_range=(-30, 30),
+    seed: int = 0,
+) -> str:
+    """Quadratic semi-assignment: pick one choice per group, with random
+    quadratic couplings BETWEEN groups (QAP-family objective; reference
+    quadratic tests: lib/test/optimize.cpp:55-87, cost machinery
+    itm-common.hpp:1150-1440).
+
+    Deliberately UNFOLDABLE by preprocess/products.py: the quadratic
+    terms couple choice variables directly (no marginal-grid product
+    linearization pattern), so the solver must run its quadratic kernel
+    (the CQ matmul in ops/psweep.py / per-slot gathers in ops/sweep.py)
+    rather than the exact product-fold route — the at-scale quadratic
+    evidence VERDICT r4 item 3 asks for. n = groups * choices variables.
+    """
+    rng = random.Random(seed)
+    n = groups * choices
+
+    def var(g: int, c: int) -> str:
+        return f"x{g}_{c}"
+
+    lin = []
+    for g in range(groups):
+        for c in range(choices):
+            f = rng.randint(*lin_range)
+            if f:
+                lin.append(f"{'+' if f > 0 else '-'} {abs(f)} {var(g, c)}")
+    quad = []
+    for g in range(groups):
+        for c in range(choices):
+            for _ in range(max(0, quad_per_var) // 2):
+                g2 = rng.randrange(groups)
+                if g2 == g:
+                    continue
+                c2 = rng.randrange(choices)
+                q = rng.randint(*quad_range)
+                if q:
+                    # LP quadratic block convention: [ 2q a*b ] / 2.
+                    # NOTE: `a*b` attached, no spaces — the reference
+                    # parser mis-tokenizes `a * b` inside multi-term
+                    # brackets (creates a phantom real variable), so the
+                    # generated files use the form its own tests use
+                    # (io.cpp:312-320)
+                    quad.append(
+                        f"{'+' if q > 0 else '-'} {2 * abs(q)} "
+                        f"{var(g, c)}*{var(g2, c2)}"
+                    )
+    out = ["minimize", "obj: " + " ".join(lin)
+           + " + [ " + " ".join(quad) + " ] / 2"]
+    out.append("subject to")
+    for g in range(groups):
+        out.append(
+            f"g{g}: " + " + ".join(var(g, c) for c in range(choices)) + " = 1"
+        )
+    out.append("binary")
+    out.append(" ".join(var(g, c) for g in range(groups) for c in range(choices)))
+    out.append("end")
+    return "\n".join(out) + "\n"

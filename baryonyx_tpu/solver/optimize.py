@@ -1305,7 +1305,9 @@ def optimize_compiled(
     # time, no compile exists there. The fetch synchronizes through the
     # axon tunnel (block_until_ready does not). ret.duration keeps the
     # full span from function entry (t0); the budget runs on budget_t0.
+    ctx.debug("  - warmup: state built at +{:.2f}s\n", time.monotonic() - t0)
     int(run_evolve(state, 0).sweeps)
+    ctx.debug("  - warmup: first dispatch done at +{:.2f}s\n", time.monotonic() - t0)
     budget_t0 = time.monotonic()
     # do-while: at least one chunk always runs even on tiny time limits.
     # The chunk length adapts so each host round trip (the fetch below —

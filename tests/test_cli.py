@@ -95,3 +95,13 @@ def test_parameter_echo_matches_reference_layout():
         duration=2.0,
     )
     assert "Constraint remaining: 3. Time limit reached" in format_result_line(r2)
+
+
+def test_cli_warmup_no_sol(tmp_path, monkeypatch):
+    """--warmup pre-compiles the shape class without solving: no .sol."""
+    lp = tmp_path / "model.lp"
+    lp.write_text(random_assignment_lp(3, seed=5))
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--quiet", "--warmup", "-p", "seed:42", str(lp)])
+    assert rc == 0
+    assert list(tmp_path.glob("model.lp-*.sol")) == []

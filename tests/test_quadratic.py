@@ -57,3 +57,50 @@ def test_quadratic_with_optimize():
     assert is_valid_solution(pb, r)
     # best: a + c (no adjacent pair) → 2.0
     assert compute_solution(pb, r) == 2.0
+
+
+def test_qsap_kernel_path_quality():
+    """At-scale-class quadratic evidence (VERDICT r4 item 3): an
+    UNFOLDABLE quadratic instance (random QSAP — couplings between choice
+    variables, no marginal-grid product pattern) with n > EXACT_N_MAX
+    must be solved by the KERNEL (method == "optimize", no exact-enum /
+    product-fold route) to near the brute-force optimum."""
+    import itertools
+
+    import numpy as np
+
+    from baryonyx_tpu.generators import random_qsap_lp
+
+    lp = random_qsap_lp(7, 3, seed=1)  # n = 21 > EXACT_N_MAX
+    pb = bx.parse_lp(lp)
+    n = len(pb.vars.values)
+    assert n == 21
+    name_idx = {nm: i for i, nm in enumerate(pb.vars.names)}
+    lin = np.zeros(n)
+    for el in pb.objective.elements:
+        lin[el.variable_index] += el.factor
+    Q = np.zeros((n, n))
+    for q in pb.objective.qelements:
+        Q[q.variable_index_a, q.variable_index_b] += q.factor
+    best = min(
+        lin @ x + x @ Q @ x
+        for combo in itertools.product(range(3), repeat=7)
+        for x in [
+            np.bincount(
+                [name_idx[f"x{g}_{c}"] for g, c in enumerate(combo)],
+                minlength=n,
+            )
+        ]
+    )
+
+    ctx = bx.make_context(0)
+    ctx.parameters.seed = 42
+    ctx.parameters.time_limit = 8.0
+    ctx.parameters.thread = 16
+    r = bx.optimize(ctx, pb)
+    assert r.status == bx.ResultStatus.success
+    assert is_valid_solution(pb, r)
+    assert r.method == "optimize"  # kernel route, not exact/product-fold
+    val = r.solutions[-1].value
+    # stochastic solver, small budget: within 5% of the true optimum
+    assert val <= best + 0.05 * abs(best), (val, best)
