@@ -901,6 +901,68 @@ def optimize_compiled(
                 R = cand_R * len(devices)
                 block_size = bs
                 break
+
+    # HBM routing (SURVEY §2.9 v2-stretch): when the replicated per-chip
+    # state P[m, Kr, R/D] cannot fit the device budget, shrink the
+    # replica batch first; if even a minimal batch overflows, shard the
+    # CONSTRAINT ROWS across the mesh (parallel/rowshard.py) instead of
+    # OOMing — population/restart machinery then runs host-side on the
+    # merged x.
+    from baryonyx_tpu.memory import replica_state_bytes
+    from baryonyx_tpu.parallel.rowshard import hbm_budget_bytes
+
+    n_dev = max(1, len(devices))
+    _budget = hbm_budget_bytes()
+    while (
+        replica_state_bytes(cp, max(R // n_dev, 1)) > _budget
+        and R // n_dev > 128
+    ):
+        R //= 2
+    if replica_state_bytes(cp, max(R // n_dev, 1)) > _budget:
+        if mesh is not None and not cp.has_z and not cp.has_quad:
+            from baryonyx_tpu.parallel.rowshard import optimize_row_sharded
+
+            ctx.warning(
+                "replicated state ({} per chip at R={}) exceeds the HBM "
+                "budget ({}); sharding constraint rows across {} devices\n",
+                replica_state_bytes(cp, max(R // n_dev, 1)),
+                R,
+                _budget,
+                n_dev,
+            )
+            bx_, rem_, val_, sw_, rst_ = optimize_row_sharded(
+                ctx, constraints, n, cost_norm_real, cost_orig_real,
+                float(pb.objective.value), minimize, mesh, params, rng,
+            )
+            ret.method += "+rowshard"
+            ret.loop = sw_
+            ret.remaining_constraints = int(rem_)
+            if rem_ == 0:
+                ret.status = ResultStatus.success
+                ret.solutions.append(
+                    Solution([int(v) for v in bx_], float(val_))
+                )
+            else:
+                ret.status = (
+                    ResultStatus.time_limit_reached
+                    if params.time_limit > 0
+                    else ResultStatus.limit_reached
+                )
+                ret.solutions.append(
+                    Solution(
+                        [int(v) for v in bx_],
+                        float("inf") if minimize else float("-inf"),
+                    )
+                )
+            _finalize(ret, pb, len(constraints), t0)
+            if ctx.finish_cb:
+                ctx.finish_cb(ret)
+            return ret
+        ctx.warning(
+            "replicated optimize state exceeds the device memory budget "
+            "and row sharding does not apply here (single device, or "
+            "Z/quadratic rows); proceeding — the runtime may OOM\n"
+        )
     P_size = params.init_population_size
 
     # vectorized host oracle for the population init: flat (factor, var)
