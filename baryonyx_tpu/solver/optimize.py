@@ -789,7 +789,9 @@ def optimize_compiled(
         ctx.warning(
             "float_type=float64 disables the fused TPU kernel "
             "(5-10x slower); float32 matches f64 objectives on the "
-            "reference fixture classes\n"
+            "reference fixture classes AND on 1e6-scale-cost "
+            "telebus-class instances (F64_r05.json: zero rank "
+            "inversions/collapses under every cost norm)\n"
         )
 
     if _osmod.environ.get("BARYONYX_ABLATE"):

@@ -67,3 +67,60 @@ def test_f32_matches_f64_optimize_scp():
     # equal-budget quality parity within 2% (stochastic trajectories)
     lo, hi = sorted(vals.values())
     assert hi - lo <= 0.02 * max(hi, 1.0), vals
+
+
+def test_f32_ranking_resolution_telebus_scale():
+    """VERDICT r4 item 5: telebus-class costs are ~1e5-1e6 with
+    unit-scale differences — exactly where the reference's double
+    default matters (itm-common.hpp:1486-1494). The device ranks
+    NORMALIZED costs (host-side f64 normalization, solver/common.py);
+    this asserts the f32 cast of those normalized costs preserves the
+    strict order for every pair that is distinct in f64 — i.e. f32
+    selection cannot misrank telebus-scale reduced costs."""
+    import numpy as np
+
+    from baryonyx_tpu.core.params import CostNormType
+    from baryonyx_tpu.generators import telebus_crew_lp
+    from baryonyx_tpu.solver import common
+
+    pb = bx.parse_lp(telebus_crew_lp(150, 12, 4, seed=3))
+    n = len(pb.vars.values)
+    c = common.build_cost_vector(pb, n)
+    assert c.max() >= 1e5  # telebus-scale magnitudes
+    rng = np.random.default_rng(0)
+    for norm in (CostNormType.loo, CostNormType.l1, CostNormType.l2,
+                 CostNormType.none):
+        cn64 = common.normalize_costs(c, norm, rng)
+        cn32 = cn64.astype(np.float32)
+        o64 = np.argsort(cn64, kind="stable")
+        s64 = cn64[o64]
+        s32 = cn32[o64]
+        # every strictly-increasing step in f64 stays non-decreasing and
+        # every strict step bigger than one ulp stays strict in f32
+        d64 = np.diff(s64)
+        d32 = np.diff(s32.astype(np.float64))
+        assert (d32[d64 > 0] >= 0).all(), f"f32 inverts order under {norm}"
+        collapsed = int(((d64 > 0) & (d32 == 0)).sum())
+        # unit differences at 1e6 scale are ~1e-6 relative — above f32
+        # resolution (2^-23); nothing may collapse
+        assert collapsed == 0, f"{collapsed} pairs collapse under {norm}"
+
+
+def test_f32_matches_f64_optimize_telebus():
+    """End-to-end equal-budget parity on large-cost set partitioning."""
+    from baryonyx_tpu.generators import telebus_crew_lp
+
+    pb = bx.parse_lp(telebus_crew_lp(60, 8, 3, seed=2))
+    vals = {}
+    for ft in (FloatType.float32, FloatType.float64):
+        ctx = bx.make_context(0)
+        p = ctx.parameters
+        p.seed = 5
+        p.float_type = ft
+        p.time_limit = 6.0
+        r = bx.optimize(ctx, pb)
+        assert r.status == bx.ResultStatus.success
+        assert is_valid_solution(pb, r)
+        vals[ft] = compute_solution(pb, r)
+    lo, hi = sorted(vals.values())
+    assert hi - lo <= 0.02 * max(hi, 1.0), vals
