@@ -371,3 +371,68 @@ def random_qsap_lp(
     out.append(" ".join(var(g, c) for g in range(groups) for c in range(choices)))
     out.append("end")
     return "\n".join(out) + "\n"
+
+
+def random_z_multiknapsack_lp(
+    m: int,
+    n: int,
+    row_len=(6, 24),
+    coeff_range=(1, 5),
+    slack: int = 3,
+    cost_range=(1, 100),
+    seed: int = 0,
+) -> str:
+    """General-integer-coefficient (Z-class) instance: mixed-sign rows
+    with |a| in ``coeff_range``, row lengths spanning the exact-enum
+    (<= 12 vars) and DP regimes of ops/zsweep.py (reference solver:
+    lib/src/itm-solver-inequalities-Z.cpp:32-565). Feasible by
+    construction: bounds brace a random reference assignment."""
+    rng = random.Random(seed)
+    x0 = [rng.randint(0, 1) for _ in range(n)]
+    out = ["minimize"]
+    out.append(" ".join(f"+ {rng.randint(*cost_range)} x{j}" for j in range(n)))
+    out.append("subject to")
+    for k in range(m):
+        length = rng.randint(*row_len)
+        idx = rng.sample(range(n), length)
+        coefs = [
+            rng.randint(*coeff_range) * (1 if rng.random() < 0.6 else -1)
+            for _ in idx
+        ]
+        act = sum(c * x0[j] for c, j in zip(coefs, idx))
+        lhs = " ".join(
+            f"{'+' if c > 0 else '-'} {abs(c)} x{j}" for c, j in zip(coefs, idx)
+        )
+        if rng.random() < 0.5:
+            out.append(f"c{k}: {lhs} <= {act + rng.randint(0, slack)}")
+        else:
+            out.append(f"c{k}: {lhs} >= {act - rng.randint(0, slack)}")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(n)))
+    out.append("end")
+    return "\n".join(out) + "\n"
+
+
+def contradiction_z_lp(groups: int, group_size: int = 20, seed: int = 0) -> str:
+    """Z-coefficient treadmill (throughput measurement): per group, a
+    coefficient-2 demand row and a conflicting cap over the same group
+    minus its last variable — jointly unsatisfiable, so solvers sweep
+    forever (the Z analogue of contradiction_cover_lp; reference Z
+    solver: lib/src/itm-solver-inequalities-Z.cpp)."""
+    rng = random.Random(seed)
+    hi = max(2, int(group_size * 0.6))
+    lo = max(1, int(group_size * 0.25))
+    out = ["minimize"]
+    n = groups * group_size
+    out.append(" ".join(f"+ {rng.randint(1, 50)} x{j}" for j in range(n)))
+    out.append("subject to")
+    for g in range(groups):
+        base = g * group_size
+        full = [f"2 x{base + t}" for t in range(group_size)]
+        sub = [f"2 x{base + t}" for t in range(group_size - 1)]
+        out.append(f"a{g}: " + " + ".join(full) + f" >= {2 * hi}")
+        out.append(f"b{g}: " + " + ".join(sub) + f" <= {2 * lo}")
+    out.append("binary")
+    out.append(" ".join(f"x{j}" for j in range(n)))
+    out.append("end")
+    return "\n".join(out) + "\n"

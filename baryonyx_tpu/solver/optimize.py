@@ -1498,17 +1498,22 @@ def optimize_compiled(
             state.replicas.best_value
         ).astype(np.float64)
 
+    # one bulk fetch for every solution the storage policy needs — per-i
+    # device slicing costs a dispatch round trip each through the tunnel
+    if params.storage == StorageType.one:
+        want = [0]
+    elif params.storage == StorageType.bound:
+        want = [P_size - 1, 0]
+    else:
+        want = [4, 3, 2, 1, 0]
+    pop_x_head = np.asarray(pop.x[: max(want) + 1])
+
     def to_solution(i: int) -> Solution:
-        xi = np.asarray(pop.x[i])[:n]
+        xi = pop_x_head[i][:n]
         val = common.objective_value(pb, xi)
         return Solution([int(v) for v in xi], val)
 
-    if params.storage == StorageType.one:
-        ret.solutions = [to_solution(0)]
-    elif params.storage == StorageType.bound:
-        ret.solutions = [to_solution(P_size - 1), to_solution(0)]
-    else:
-        ret.solutions = [to_solution(i) for i in range(4, -1, -1)]
+    ret.solutions = [to_solution(i) for i in want]
 
     _finalize(ret, pb, len(constraints), t0)
     if ctx.finish_cb:
