@@ -182,7 +182,10 @@ def kernel_path(lp_path: str) -> str:
         ctx = bx.make_context(0)
         pb = bx.make_problem(ctx, lp_path)
         cons = make_merged_constraints(ctx, pb)
-        cp = compile_problem(cons, len(pb.vars.values), dtype=jnp.float32)
+        cp = compile_problem(
+            cons, len(pb.vars.values), dtype=jnp.float32,
+            qelements=pb.objective.qelements,
+        )
         for r, b in ((2048, 4), (1024, 4), (1024, 8), (512, 4), (512, 8)):
             if psweep.supports(cp, r, jnp.float32, b):
                 return f"pallas(Kr={cp.Kr},R<={r})"
