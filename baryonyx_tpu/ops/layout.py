@@ -122,6 +122,13 @@ class CompiledProblem:
     all_unit_pos: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Z problems: does ANY real row fall to the greedy prefix walk
+    # (neither exact enumeration nor the DP — long rows past DP_W_MAX)?
+    # When False, ops/zsweep.py skips the walk's 3-operand lax.sort
+    # entirely — the dominant per-block cost on enum/DP-only instances.
+    z_needs_walk: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
 
 
 Z_ENUM_MAX = 12  # rows up to this length get exact enumeration
@@ -241,6 +248,7 @@ def compile_problem(
     dp_row = dp_lo = dp_fac = dp_blo = dp_bhi = None
     Amax = 0
     Wdp = 0
+    z_needs_walk = True
     if has_z:
         # Exact per-row subsolvers for the Z problem classes: enumerate all
         # feasible assignments of rows up to Z_ENUM_MAX variables
@@ -323,8 +331,17 @@ def compile_problem(
         assign_bits = jnp.asarray(ab)
         assign_valid = jnp.asarray(av)
         enum_row = jnp.asarray(enum_row_np)
+        z_needs_walk = any(
+            not enum_row_np[k] and not dp_row_np[k]
+            for k in range(len(constraints))
+        )
         if Wdp:
-            Wdp = _bucket(Wdp, 64)
+            # fine-grained bucket: the DP table f[B, W, R] (+ mask words)
+            # is the Z path's dominant HBM traffic, so padding W to a
+            # coarse 64 multiple costs up to 3x real sweep time on
+            # span-~20 rows; 8-multiples keep executable reuse with
+            # <= 12.5% waste
+            Wdp = _bucket(Wdp, 8)
             dp_row = jnp.asarray(dp_row_np)
             dp_lo = jnp.asarray(dp_lo_np)
             dp_fac = jnp.asarray(dp_fac_np)
@@ -440,4 +457,5 @@ def compile_problem(
         J_top=top_need,
         sel_reduction_ok=sel_reduction_ok,
         all_unit_pos=all_unit_pos,
+        z_needs_walk=z_needs_walk,
     )

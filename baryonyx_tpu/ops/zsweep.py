@@ -119,6 +119,166 @@ def _dp_select(
     return jnp.transpose(bits, (0, 2, 1)) > 0  # [B, Kr, R]
 
 
+_DP_BIG = 1e30  # finite "infinity": keeps all DP sums finite
+
+
+def _dp_select_pallas(
+    cp: CompiledProblem,
+    rows_c: jax.Array,  # int32[B]
+    r: jax.Array,  # f32[B, Kr, R]
+    mask: jax.Array,  # bool[B, Kr]
+    minimize: bool,
+) -> jax.Array:
+    """VMEM-resident Pallas variant of ``_dp_select``: the f table and the
+    chosen-set mask words stay on-chip across the whole slot loop, so HBM
+    sees each tensor once per row instead of once per (row, slot) — the
+    jnp DP is bandwidth-bound on exactly that traffic (measured: the DP
+    dominates Z-instance sweep time). One grid cell = (block row, 128-lane
+    replica tile); the W-axis shift by each slot's factor is a sublane
+    `pltpu.roll`. Exact same selection as ``_dp_select``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from baryonyx_tpu.ops import psweep as _pw
+
+    B, Kr, R = r.shape
+    W = cp.Wdp
+    nw = (Kr + 31) // 32
+    rq = r if minimize else -r
+    rq = jnp.where(mask[:, :, None], rq, _DP_BIG)
+
+    a_blk = cp.dp_fac[rows_c]  # [B, Kr] i32 (0 on non-DP rows: harmless)
+    lo_blk = cp.dp_lo[rows_c].astype(jnp.int32)  # [B]
+    wlo_blk = (cp.dp_blo[rows_c] - cp.dp_lo[rows_c]).astype(jnp.int32)
+    whi_blk = (cp.dp_bhi[rows_c] - cp.dp_lo[rows_c]).astype(jnp.int32)
+
+    def kernel(a_ref, lo_ref, wlo_ref, whi_ref, rq_ref, out_ref, f_scr, m_scr):
+        b = pl.program_id(0)
+        wi = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+        lo = lo_ref[b]
+        f_scr[:, :] = jnp.where(
+            wi == -lo, jnp.float32(0.0), jnp.float32(_DP_BIG)
+        )
+        for w_ in range(nw):
+            m_scr[w_, :, :] = jnp.zeros((W, 128), jnp.uint32)
+        for s in range(Kr):
+            a_s = a_ref[b, s]
+            sh = jax.lax.rem(a_s, W)
+            sh = jnp.where(sh < 0, sh + W, sh).astype(jnp.int32)
+            f = f_scr[:, :]
+            fsh = pltpu.roll(f, sh, axis=0)
+            src = wi - a_s
+            ok = (src >= 0) & (src < W)
+            fsh = jnp.where(ok, fsh, jnp.float32(_DP_BIG))
+            cand = fsh + rq_ref[0, s, :][None, :]
+            take = cand < f
+            word, bit = s // 32, jnp.uint32(1 << (s % 32))
+            for w_ in range(nw):
+                mw = m_scr[w_, :, :]
+                msh = pltpu.roll(mw, sh, axis=0)
+                msh = jnp.where(ok, msh, jnp.uint32(0))
+                if w_ == word:
+                    msh = msh | bit
+                m_scr[w_, :, :] = jnp.where(take, msh, mw)
+            f_scr[:, :] = jnp.where(take, cand, f)
+        f = f_scr[:, :]
+        f = jnp.where((wi >= wlo_ref[b]) & (wi <= whi_ref[b]), f, jnp.float32(_DP_BIG))
+        fmin = jnp.min(f, axis=0)  # [128]
+        wbest = jnp.min(jnp.where(f == fmin[None, :], wi, W), axis=0)
+        onehot = wi == wbest[None, :]  # [W, 128]
+        rows = []
+        for s in range(Kr):
+            bits = (
+                (m_scr[s // 32, :, :] >> jnp.uint32(s % 32)) & jnp.uint32(1)
+            ).astype(jnp.int32)
+            rows.append(jnp.max(jnp.where(onehot, bits, 0), axis=0))
+        out_ref[0, :, :] = jnp.stack(rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, R // 128),
+        in_specs=[
+            pl.BlockSpec((1, Kr, 128), lambda b, t, *_: (b, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, Kr, 128), lambda b, t, *_: (b, 0, t)),
+        scratch_shapes=[
+            pltpu.VMEM((W, 128), jnp.float32),
+            pltpu.VMEM((nw, W, 128), jnp.uint32),
+        ],
+    )
+    chosen = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kr, R), jnp.int32),
+        interpret=_pw.enabled_mode() == "interpret",
+    )(a_blk, lo_blk, wlo_blk, whi_blk, rq)
+    return chosen > 0
+
+
+def _dp_dispatch(cp, rows_c, r, mask, minimize):
+    """Pallas DP when the backend supports it, jnp fallback otherwise."""
+    from baryonyx_tpu.ops import psweep as _pw
+
+    B, Kr, R = r.shape
+    if (
+        _pw.enabled_mode() is not None
+        and R % 128 == 0
+        and Kr <= 128  # static unroll bound (compile size)
+        and cp.Wdp * 128 * 4 * (1 + (Kr + 31) // 32) <= 8 * 1024 * 1024
+    ):
+        return _dp_select_pallas(cp, rows_c, r, mask, minimize)
+    return _dp_select(cp, rows_c, r, mask, minimize)
+
+
+def _walk_select(cp, rows_c, r_masked, a, kb, minimize, B, Kr, R, dtype):
+    """Greedy prefix walk for long ±1 rows (reference:
+    select_variables_101, itm-solver-inequalities-Z.cpp:308-325):
+    sort reduced costs (random tie-break), take the longest feasible
+    prefix before the first stop-sign element. Returns chosen [B, Kr, R]."""
+    tb = jax.random.uniform(jax.random.fold_in(kb, 1), (B, Kr, R), jnp.float32)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
+    sortv = r_masked if minimize else -r_masked
+    sv, _, sslot = jax.lax.sort((sortv, tb, slots), dimension=1, num_keys=2)
+    rs_sorted = sv if minimize else -sv
+    rank = jnp.argsort(sslot, axis=1)
+    f_sorted = jnp.take_along_axis(
+        jnp.broadcast_to(a[:, :, None], (B, Kr, R)), sslot, axis=1
+    )
+    prefix = jnp.cumsum(f_sorted, axis=1)  # activity of prefix [0..i]
+    bkmin = cp.bmin[rows_c][:, None, None].astype(dtype)
+    bkmax = cp.bmax[rows_c][:, None, None].astype(dtype)
+    r_size = cp.r_size[rows_c][:, None]  # [B, 1]
+    in_len = slots < r_size[:, :, None]
+    feasible = (
+        (prefix >= bkmin) & (prefix <= bkmax) & in_len
+    )  # [B, Kr, R] — position i means prefix 0..i selected
+    empty_feasible = (bkmin <= 0) & (bkmax >= 0)  # selected = -1
+    if minimize:
+        stop = rs_sorted > 0
+    else:
+        stop = rs_sorted < 0
+    # first feasible position (or -1 if the empty prefix is feasible)
+    anyf = jnp.any(feasible, axis=1)  # [B, R]
+    firstf = jnp.argmax(feasible, axis=1)
+    firstf = jnp.where(
+        empty_feasible[:, 0, :], -jnp.ones_like(firstf), jnp.where(anyf, firstf, Kr)
+    )
+    # the walk breaks at the first stop-sign element after a feasible
+    # prefix exists: cut = min { i : i > firstf and stop[i] }
+    idxs = slots
+    stop_after = stop & (idxs > firstf[:, None, :])
+    any_stop = jnp.any(stop_after, axis=1)
+    cut = jnp.where(any_stop, jnp.argmax(stop_after, axis=1) - 1, Kr - 1)
+    # best = last feasible position <= cut
+    ok = feasible & (idxs <= cut[:, None, :])
+    best_walk = jnp.where(
+        jnp.any(ok, axis=1),
+        (Kr - 1) - jnp.argmax(ok[:, ::-1, :], axis=1),
+        jnp.where(empty_feasible[:, 0, :], -1, -1),
+    )  # [B, R]; -1 = select nothing
+    return rank <= best_walk[:, None, :]
+
+
 def column_sums_abs(cp: CompiledProblem, P: jax.Array, pi: jax.Array) -> jax.Array:
     """S[j] = sum_k |a_kj| (pi_k + P[k,s]) via one scatter-add."""
     R = pi.shape[-1]
@@ -244,55 +404,24 @@ def z_sweep(
             > 0.5
         )  # [B, Kr, R]
 
-        # ---- greedy prefix walk for long ±1 rows (select_variables_101) --
-        tb = jax.random.uniform(jax.random.fold_in(kb, 1), (B, Kr, R), jnp.float32)
-        slots = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
-        sortv = r_masked if minimize else -r_masked
-        sv, _, sslot = jax.lax.sort((sortv, tb, slots), dimension=1, num_keys=2)
-        rs_sorted = sv if minimize else -sv
-        rank = jnp.argsort(sslot, axis=1)
-        f_sorted = jnp.take_along_axis(
-            jnp.broadcast_to(a[:, :, None], (B, Kr, R)), sslot, axis=1
-        )
-        prefix = jnp.cumsum(f_sorted, axis=1)  # activity of prefix [0..i]
-        bkmin = cp.bmin[rows_c][:, None, None].astype(dtype)
-        bkmax = cp.bmax[rows_c][:, None, None].astype(dtype)
+        # ---- greedy prefix walk for long ±1 rows (select_variables_101):
+        # skipped entirely (static flag) when every real row is solved by
+        # enumeration or the DP — the walk's 3-operand lax.sort is the
+        # dominant per-block cost on enum/DP-only instances
         r_size = cp.r_size[rows_c][:, None]  # [B, 1]
-        in_len = slots < r_size[:, :, None]
-        feasible = (
-            (prefix >= bkmin) & (prefix <= bkmax) & in_len
-        )  # [B, Kr, R] — position i means prefix 0..i selected
-        empty_feasible = (bkmin <= 0) & (bkmax >= 0)  # selected = -1
-        if minimize:
-            stop = rs_sorted > 0
-        else:
-            stop = rs_sorted < 0
-        # first feasible position (or -1 if the empty prefix is feasible)
-        anyf = jnp.any(feasible, axis=1)  # [B, R]
-        firstf = jnp.argmax(feasible, axis=1)
-        firstf = jnp.where(
-            empty_feasible[:, 0, :], -jnp.ones_like(firstf), jnp.where(anyf, firstf, Kr)
-        )
-        # the walk breaks at the first stop-sign element after a feasible
-        # prefix exists: cut = min { i : i > firstf and stop[i] }
-        idxs = slots
-        stop_after = stop & (idxs > firstf[:, None, :])
-        any_stop = jnp.any(stop_after, axis=1)
-        cut = jnp.where(any_stop, jnp.argmax(stop_after, axis=1) - 1, Kr - 1)
-        # best = last feasible position <= cut
-        ok = feasible & (idxs <= cut[:, None, :])
-        best_walk = jnp.where(
-            jnp.any(ok, axis=1),
-            (Kr - 1) - jnp.argmax(ok[:, ::-1, :], axis=1),
-            jnp.where(empty_feasible[:, 0, :], -1, -1),
-        )  # [B, R]; -1 = select nothing
-        chosen_walk = rank <= best_walk[:, None, :]
-
+        chosen_walk = None
+        if cp.z_needs_walk:
+            chosen_walk = _walk_select(
+                cp, rows_c, r_masked, a, kb, minimize, B, Kr, R, dtype
+            )
         enum_flag = cp.enum_row[rows_c][:, None, None]  # [B,1,1]
-        chosen = jnp.where(enum_flag, chosen_enum, chosen_walk)  # [B, Kr, R]
+        if chosen_walk is None:
+            chosen = chosen_enum  # non-enum rows are DP rows (or padding)
+        else:
+            chosen = jnp.where(enum_flag, chosen_enum, chosen_walk)  # [B, Kr, R]
         if cp.Wdp:
             # exact DP for long ℤ rows (reference: branch-and-bound path)
-            chosen_dp = _dp_select(cp, rows_c, r, mask, minimize)
+            chosen_dp = _dp_dispatch(cp, rows_c, r, mask, minimize)
             dp_flag = cp.dp_row[rows_c][:, None, None]
             chosen = jnp.where(dp_flag, chosen_dp, chosen)
         chosen = chosen & mask[:, :, None]

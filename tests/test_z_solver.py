@@ -228,3 +228,46 @@ def test_z_big_coefficients_walk_fallback():
     pb, r = solve_ok(text)
     vals = r.solution_map()
     assert sum(w[i] * vals[f"x{i}"] for i in range(16)) <= 300000
+
+
+def test_dp_pallas_matches_jnp_dp():
+    """The VMEM-resident Pallas DP (interpret mode on CPU) selects
+    exactly what the jnp DP selects (VERDICT r4 item 4 kernel port)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import baryonyx_tpu as bx
+    from baryonyx_tpu.generators import random_z_multiknapsack_lp
+    from baryonyx_tpu.ops import zsweep as zs
+    from baryonyx_tpu.ops.layout import compile_problem
+    from baryonyx_tpu.preprocess import unpreprocess
+    from baryonyx_tpu.preprocess.merge import make_merged_constraints
+
+    ctx = bx.make_context(0)
+    pb = unpreprocess(
+        ctx,
+        bx.parse_lp(
+            random_z_multiknapsack_lp(20, 80, row_len=(14, 22), seed=5)
+        ),
+    )
+    cp = compile_problem(
+        make_merged_constraints(ctx, pb), len(pb.vars.values)
+    )
+    assert cp.Wdp > 0
+    B, R = 8, 128
+    rng = np.random.default_rng(0)
+    rows_c = jnp.asarray(np.where(np.asarray(cp.dp_row))[0][:B], jnp.int32)
+    r = jnp.asarray(rng.normal(0, 1, (B, cp.Kr, R)), jnp.float32)
+    mask = jnp.asarray(np.asarray(cp.row_mask)[np.asarray(rows_c)])
+    import os
+
+    os.environ["BARYONYX_PALLAS"] = "interpret"
+    try:
+        for minimize in (True, False):
+            ref = np.asarray(zs._dp_select(cp, rows_c, r, mask, minimize))
+            pal = np.asarray(
+                zs._dp_select_pallas(cp, rows_c, r, mask, minimize)
+            )
+            assert (ref == pal).all()
+    finally:
+        os.environ.pop("BARYONYX_PALLAS", None)
