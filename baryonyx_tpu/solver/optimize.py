@@ -915,12 +915,18 @@ def optimize_compiled(
 
     n_dev = max(1, len(devices))
     _budget = hbm_budget_bytes()
+    # peak factor: beyond the carried state, execution holds donation
+    # transition copies, sweep temporaries and (later in a run) the
+    # diversify executable's workspace — measured OOM at carried-state
+    # ~5 GB on a 16 GB chip once diversify first fires, so budget the
+    # CARRIED bytes at ~40% of the device budget
+    _PEAK = 2.5
     while (
-        replica_state_bytes(cp, max(R // n_dev, 1)) > _budget
+        replica_state_bytes(cp, max(R // n_dev, 1)) * _PEAK > _budget
         and R // n_dev > 128
     ):
         R //= 2
-    if replica_state_bytes(cp, max(R // n_dev, 1)) > _budget:
+    if replica_state_bytes(cp, max(R // n_dev, 1)) * _PEAK > _budget:
         if mesh is not None and not cp.has_z and not cp.has_quad:
             from baryonyx_tpu.parallel.rowshard import optimize_row_sharded
 
