@@ -86,6 +86,17 @@ def replica_state_bytes(cp, R: int, itemsize: int = 4) -> int:
     return (cp.n + cp.m * cp.Kr + cp.m + cp.n) * R * itemsize + cp.m * R
 
 
+def estimated_peak_bytes(cp, R: int, itemsize: int = 4) -> int:
+    """Execution-peak estimate for one chip's share of the optimize
+    state: the carried ReplicaState plus the sweep's dominant transients
+    — the per-block row gathers accumulate to O(m*Kr*R) and the merged
+    column-sum recompute materializes O(n*Kc*R) (ops/sweep.py
+    column_sums), each live alongside a donated copy. Measured: a 2.5 GB
+    carried state OOMed a 16 GB chip through exactly these transients."""
+    transient = 2 * (cp.m * cp.Kr + cp.n * cp.Kc) * R * itemsize
+    return replica_state_bytes(cp, R, itemsize) * 2 + transient
+
+
 def device_memory_stats() -> dict:
     """Live-buffer bytes per device as reported by the runtime
     (the TPU-native analogue of the reference's host estimates)."""

@@ -910,30 +910,24 @@ def optimize_compiled(
     # CONSTRAINT ROWS across the mesh (parallel/rowshard.py) instead of
     # OOMing — population/restart machinery then runs host-side on the
     # merged x.
-    from baryonyx_tpu.memory import replica_state_bytes
+    from baryonyx_tpu.memory import estimated_peak_bytes
     from baryonyx_tpu.parallel.rowshard import hbm_budget_bytes
 
     n_dev = max(1, len(devices))
     _budget = hbm_budget_bytes()
-    # peak factor: beyond the carried state, execution holds donation
-    # transition copies, sweep temporaries and (later in a run) the
-    # diversify executable's workspace — measured OOM at carried-state
-    # ~5 GB on a 16 GB chip once diversify first fires, so budget the
-    # CARRIED bytes at ~40% of the device budget
-    _PEAK = 2.5
     while (
-        replica_state_bytes(cp, max(R // n_dev, 1)) * _PEAK > _budget
+        estimated_peak_bytes(cp, max(R // n_dev, 1)) > _budget
         and R // n_dev > 128
     ):
         R //= 2
-    if replica_state_bytes(cp, max(R // n_dev, 1)) * _PEAK > _budget:
+    if estimated_peak_bytes(cp, max(R // n_dev, 1)) > _budget:
         if mesh is not None and not cp.has_z and not cp.has_quad:
             from baryonyx_tpu.parallel.rowshard import optimize_row_sharded
 
             ctx.warning(
                 "replicated state ({} per chip at R={}) exceeds the HBM "
                 "budget ({}); sharding constraint rows across {} devices\n",
-                replica_state_bytes(cp, max(R // n_dev, 1)),
+                estimated_peak_bytes(cp, max(R // n_dev, 1)),
                 R,
                 _budget,
                 n_dev,
