@@ -1099,47 +1099,45 @@ def optimize_compiled(
             pushes_limit,
             push_iters,
         )
+    # scalar hyperparameters stay NUMPY scalars: each jnp.asarray here
+    # was one eager device round trip through the tunnel (~0.3 s x ~25
+    # scalars per fresh process); as numpy they ride the evolve call's
+    # argument transfer with identical abstract values (same jit keys)
+    np_f = np.float64 if dtype == jnp.float64 else np.float32
     hp = dict(
-        delta=jnp.asarray(delta, dtype),
-        theta=jnp.asarray(params.theta, dtype),
-        kappa_min=jnp.asarray(params.kappa_min, dtype),
-        kappa_step=jnp.asarray(params.kappa_step, dtype),
-        kappa_max=jnp.asarray(params.kappa_max, dtype),
-        alpha=jnp.asarray(params.alpha, dtype),
-        w=jnp.asarray(int(params.w), jnp.int32),
-        limit=jnp.asarray(min(params.limit, INT_MAX), jnp.int32),
-        pushes_limit=jnp.asarray(pushes_limit, jnp.int32),
-        push_iters=jnp.asarray(push_iters, jnp.int32),
-        pushing_k_factor=jnp.asarray(params.pushing_k_factor, dtype),
-        pushing_objective_amplifier=jnp.asarray(
-            params.pushing_objective_amplifier, dtype
+        delta=np_f(delta),
+        theta=np_f(params.theta),
+        kappa_min=np_f(params.kappa_min),
+        kappa_step=np_f(params.kappa_step),
+        kappa_max=np_f(params.kappa_max),
+        alpha=np_f(params.alpha),
+        w=np.int32(int(params.w)),
+        limit=np.int32(min(params.limit, INT_MAX)),
+        pushes_limit=np.int32(pushes_limit),
+        push_iters=np.int32(push_iters),
+        pushing_k_factor=np_f(params.pushing_k_factor),
+        pushing_objective_amplifier=np_f(
+            params.pushing_objective_amplifier
         ),
-        kappa_improve_start=jnp.asarray(params.init_kappa_improve_start, dtype),
-        kappa_improve_increase=jnp.asarray(
-            params.init_kappa_improve_increase, dtype
-        ),
-        kappa_improve_stop=jnp.asarray(params.init_kappa_improve_stop, dtype),
-        sel_mean=jnp.asarray(params.init_crossover_solution_selection_mean, dtype),
-        sel_stddev=jnp.asarray(
-            params.init_crossover_solution_selection_stddev, dtype
-        ),
-        bastert_insertion=jnp.asarray(
-            params.init_crossover_bastert_insertion, dtype
-        ),
-        mut_var_mean=jnp.asarray(params.init_mutation_variable_mean, dtype),
-        mut_var_stddev=jnp.asarray(params.init_mutation_variable_stddev, dtype),
-        mut_val_mean=jnp.asarray(params.init_mutation_value_mean, dtype),
-        mut_val_stddev=jnp.asarray(params.init_mutation_value_stddev, dtype),
-        mut_enabled=jnp.asarray(
+        kappa_improve_start=np_f(params.init_kappa_improve_start),
+        kappa_improve_increase=np_f(params.init_kappa_improve_increase),
+        kappa_improve_stop=np_f(params.init_kappa_improve_stop),
+        sel_mean=np_f(params.init_crossover_solution_selection_mean),
+        sel_stddev=np_f(params.init_crossover_solution_selection_stddev),
+        bastert_insertion=np_f(params.init_crossover_bastert_insertion),
+        mut_var_mean=np_f(params.init_mutation_variable_mean),
+        mut_var_stddev=np_f(params.init_mutation_variable_stddev),
+        mut_val_mean=np_f(params.init_mutation_value_mean),
+        mut_val_stddev=np_f(params.init_mutation_value_stddev),
+        mut_enabled=np_f(
             0.0
             if (
                 params.init_mutation_value_mean == 0.0
                 and params.init_mutation_value_stddev == 0.0
             )
-            else 1.0,
-            dtype,
+            else 1.0
         ),
-        use_cycle=jnp.asarray(params.order == ConstraintOrder.cycle, bool),
+        use_cycle=np.bool_(params.order == ConstraintOrder.cycle),
     )
     if cp.has_quad:
         from baryonyx_tpu.ops.psweep import QUAD_DENSE_MAX_N
@@ -1255,7 +1253,6 @@ def optimize_compiled(
         rand_x[:, n:] = 0
         x0_np = np.where(use_rand[:, None], rand_x, x0_np)
     x0 = jnp.asarray(x0_np).T  # [n, R]
-    viol0 = violated_mask(cp, x0)
     # first ladder rung (reference reinit's first call bumps kappa_append
     # before the first inner run)
     append0 = params.init_kappa_improve_start + params.init_kappa_improve_increase
@@ -1267,22 +1264,28 @@ def optimize_compiled(
     if params.order == ConstraintOrder.cycle:
         order_code = 0
 
-    rs = ReplicaState(
-        x=x0,
-        P=jnp.zeros((cp.m, cp.Kr, R), dtype),
-        pi=jnp.zeros((cp.m, R), dtype),
-        S=jnp.zeros((cp.n, R), dtype),
-        viol=viol0,
-        kappa=jnp.broadcast_to(jnp.asarray(kappa0, dtype), (R,)),
-        kappa_start=jnp.broadcast_to(jnp.asarray(kappa0, dtype), (R,)),
-        kappa_append=jnp.full((R,), append0, dtype),
-        iter_i=jnp.zeros((R,), jnp.int32),
-        phase=jnp.zeros((R,), jnp.int32),
-        push_idx=jnp.zeros((R,), jnp.int32),
-        best_remaining=jnp.full((R,), INT_MAX, jnp.int32),
-        restarts=jnp.zeros((R,), jnp.int32),
-        best_value=jnp.full((R,), jnp.inf, dtype),
-    )
+    # ONE jitted builder for the replica state: each jnp.zeros/full here
+    # was an eager dispatch round trip through the tunnel
+    @jax.jit
+    def _build_replicas(x0):
+        return ReplicaState(
+            x=x0,
+            P=jnp.zeros((cp.m, cp.Kr, R), dtype),
+            pi=jnp.zeros((cp.m, R), dtype),
+            S=jnp.zeros((cp.n, R), dtype),
+            viol=violated_mask(cp, x0),
+            kappa=jnp.broadcast_to(jnp.asarray(kappa0, dtype), (R,)),
+            kappa_start=jnp.broadcast_to(jnp.asarray(kappa0, dtype), (R,)),
+            kappa_append=jnp.full((R,), append0, dtype),
+            iter_i=jnp.zeros((R,), jnp.int32),
+            phase=jnp.zeros((R,), jnp.int32),
+            push_idx=jnp.zeros((R,), jnp.int32),
+            best_remaining=jnp.full((R,), INT_MAX, jnp.int32),
+            restarts=jnp.zeros((R,), jnp.int32),
+            best_value=jnp.full((R,), jnp.inf, dtype),
+        )
+
+    rs = _build_replicas(x0)
     if mesh is not None:
         # every device gets a full local population (global [D*P, ...],
         # sharded dim 0); they evolve independently within a chunk and mix

@@ -47,12 +47,23 @@ def sweep_rate(lp_text: str, R_pref=(2048, 1024, 512), B=8):
     cp = compile_problem(csts, n0, qelements=pb.objective.qelements)
     rng = np.random.default_rng(0)
     cost = np.pad(common.build_cost_vector(pb, n0), (0, cp.n - n0))
+    quad_mat = None
     if cp.has_quad:
         cn_np, q_norm = common.normalize_costs_quad(
             cost, np.asarray(cp.quad_fac, np.float64),
             ctx.parameters.cost_norm, rng,
         )
         quad_fac = jnp.asarray(q_norm, jnp.float32)
+        if cp.n <= 8192:
+            # dense neighbor matrix for the fused kernel's CQ matmul
+            # (mirrors solver/optimize.py's construction)
+            qm_np = np.asarray(cp.quad_mask)
+            qv_np = np.asarray(cp.quad_var)
+            qf_np = np.asarray(q_norm, np.float64)
+            dq = np.zeros((cp.n, cp.n))
+            jj = np.repeat(np.arange(cp.n), qm_np.shape[1]).reshape(qm_np.shape)
+            np.add.at(dq, (jj[qm_np], qv_np[qm_np]), qf_np[qm_np])
+            quad_mat = jnp.asarray(dq, jnp.float32)
     else:
         cn_np = common.normalize_costs(cost, ctx.parameters.cost_norm, rng)
         quad_fac = None
@@ -101,7 +112,7 @@ def sweep_rate(lp_text: str, R_pref=(2048, 1024, 512), B=8):
                     cp, x, P, pi, cn, sched0, order, kap,
                     jnp.float32(0.01), jnp.float32(0.5), k, amp,
                     S=S, S_fresh=(i % 16) != 0, minimize=True,
-                    quad_fac=quad_fac,
+                    quad_fac=quad_fac, quad_mat=quad_mat,
                 )
             else:
                 x, P, pi, S, viol, rem = sweep(
