@@ -366,27 +366,51 @@ def compile_problem(
     # are then reachable from: the nonpositive/positive boundary (two
     # masked reductions), the bottom of the order (rank < J_bot), or the
     # top (rank > r_size-1-J_top).
-    bot_need, top_need = 2, 1
+    # Collect every (rank, row_size) selection-key read the kernels can
+    # make, then choose a single (J_bot, J_top) register split covering
+    # all of them. Both sweep implementations dispatch PER RANK — rank r
+    # reads bots[r] when r < J_bot, else tops[rs-1-r] — so each rank may
+    # be covered from whichever side is cheaper. (The earlier analysis
+    # hardwired clip-lo→bottom / clip-hi→top, which mis-charged rows
+    # with a small upper bound and a long body — e.g. the sum ≤ 1
+    # diagonal rows of n-queens, rs up to 2N-1 but hi = 1 — pushing the
+    # whole instance off the fast selection path.)
+    rank_reads: List[tuple] = []  # (rank, row_size)
     for k in range(m_real):
         rs = int(r_size[k])
         cs = int(neg_count[k])
         if is_eq[k]:
             ke = min(int(bmin[k]) + cs, rs) - 1
-            b_need = ke + 2 if ke + 1 < rs else ke + 1
-            t_need = rs - ke
-            if b_need <= t_need:
-                bot_need = max(bot_need, b_need)
-            else:
-                top_need = max(top_need, t_need)
+            if ke >= 0:
+                rank_reads.append((ke, rs))
+                if ke + 1 < rs:  # ke+1 == rs is case_all: only ke read
+                    rank_reads.append((ke + 1, rs))
         else:
             lo = int(bmin[k]) + cs
             hi = min(int(bmax[k]) + cs, rs)
-            # clip-lo: ranks lo-1, lo from the bottom
-            bot_need = max(bot_need, lo + 1)
-            # clip-hi: ranks hi-1, hi from the top (hi == rs is the
-            # select-all case, which reads only rank hi-1)
-            top_need = max(top_need, rs - hi + 1)
-    sel_reduction_ok = bot_need + top_need <= 8
+            # clip-lo binds at cnt < lo (lo == 0 never binds: selected
+            # becomes -1, the case_none branch): ranks lo-1, lo
+            if lo >= 1:
+                rank_reads.append((lo - 1, rs))
+                if lo < rs:
+                    rank_reads.append((lo, rs))
+            # clip-hi binds at cnt > hi: ranks hi-1, hi (hi == rs is
+            # the select-all case, which reads only rank hi-1)
+            if hi >= 1:
+                rank_reads.append((hi - 1, rs))
+                if hi < rs:
+                    rank_reads.append((hi, rs))
+    # minimal (J_bot >= 2, J_top >= 1) split with J_bot + J_top <= 8:
+    # rank r of an rs-slot row is covered iff r < J_bot or J_top >= rs-r
+    bot_need, top_need, best_total = 2, 1, None
+    for jb in range(2, 9):
+        jt = 1
+        for r, rs in rank_reads:
+            if r >= jb:
+                jt = max(jt, rs - r)
+        if jb + jt <= 8 and (best_total is None or jb + jt < best_total):
+            bot_need, top_need, best_total = jb, jt, jb + jt
+    sel_reduction_ok = best_total is not None
 
     quad_var = quad_fac = quad_mask = None
     has_quad = bool(qelements)

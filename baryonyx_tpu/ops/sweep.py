@@ -287,20 +287,32 @@ def sweep(
             # lax.sort on [B, Kr, R] dominates the sweep (~40% in
             # profiles); the needed ranks come from masked reductions.
             J_bot, J_top = cp.J_bot, cp.J_top
+            slot_i = jax.lax.broadcasted_iota(jnp.int32, (B, Kr, R), 1)
+            # rank semantics, not value semantics: remove exactly ONE
+            # slot (the argmin) per extraction so exact key ties yield a
+            # zero sel/sel+1 gap like the reference's sorted array does
+            # (value-dedup `work == mj` skipped ALL duplicates, inflating
+            # d by kp*(next distinct - tie) on tied ranks)
             bots = []
             work = sv
             for j in range(J_bot):
                 mj = jnp.min(work, axis=1)  # [B, R]
                 bots.append(mj)
                 if j + 1 < J_bot:
-                    work = jnp.where(work == mj[:, None, :], jnp.inf, work)
+                    am = jnp.argmin(work, axis=1)  # [B, R]
+                    work = jnp.where(
+                        slot_i == am[:, None, :], jnp.inf, work
+                    )
             tops = []
             work = jnp.where(mask[:, :, None], sv, -jnp.inf)
             for j in range(J_top):
                 Mj = jnp.max(work, axis=1)
                 tops.append(Mj)
                 if j + 1 < J_top:
-                    work = jnp.where(work == Mj[:, None, :], -jnp.inf, work)
+                    aM = jnp.argmax(work, axis=1)
+                    work = jnp.where(
+                        slot_i == aM[:, None, :], -jnp.inf, work
+                    )
             # boundary ranks cnt-1 / cnt: largest nonpositive, smallest
             # positive
             mx_np = jnp.max(jnp.where(sv <= 0, sv, -jnp.inf), axis=1)

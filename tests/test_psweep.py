@@ -185,6 +185,130 @@ def test_plan_covers_benchmark_class():
     assert kplan is not None, "SPP long-row class must be Pallas-eligible"
 
 
+def test_plan_covers_small_upper_bound_long_rows():
+    """Rows with a small upper bound but a long body (n-queens ≤1
+    diagonals, packing rows) must stay on the order-statistic selection
+    path: rank coverage may pick the CHEAP side per rank (rank hi-1/hi
+    from the bottom when hi is small), not clip-lo→bottom /
+    clip-hi→top unconditionally (reference walk: select_variables,
+    itm-solver-inequalities-01.cpp:193-206 touches only ranks adjacent
+    to the clip point, wherever it lies)."""
+    from baryonyx_tpu.core.model import FunctionElement as CE
+    from baryonyx_tpu.io.lp_parse import parse_lp
+    from baryonyx_tpu.generators import n_queens_lp
+    from baryonyx_tpu.core.context import Context
+    from baryonyx_tpu.ops import psweep as pw
+    from baryonyx_tpu.preprocess.merge import (
+        MergedConstraint,
+        make_merged_constraints,
+    )
+
+    # sum ≤ 2 over 120 variables: old analysis charged J_top = 119
+    csts = [
+        MergedConstraint(
+            elements=[CE(1, j) for j in range(120)], min=0, max=2, id=0
+        )
+    ]
+    cp = compile_problem(csts, 128)
+    assert cp.sel_reduction_ok
+    assert cp.J_bot >= 3  # ranks 1, 2 read from the bottom
+
+    # full n-queens (equality rows + ≤1 diagonals) plans onto Pallas
+    pb = parse_lp(n_queens_lp(75))
+    cons = make_merged_constraints(Context(), pb)
+    cp = compile_problem(cons, len(pb.vars.values))
+    assert cp.sel_reduction_ok and (cp.J_bot, cp.J_top) == (2, 1)
+    assert pw.plan(cp, 512, jnp.float32, 8) is not None
+
+
+def _compiled_nqueens(N):
+    from baryonyx_tpu.generators import n_queens_lp
+
+    ctx = make_context(0)
+    pb = parse_lp(n_queens_lp(N))
+    csts = make_merged_constraints(ctx, pb)
+    cp = compile_problem(csts, len(pb.vars.values))
+    n = cp.n
+    cost = 1.0 + np.arange(n) + 0.01 * ((np.arange(n) * 37) % 61)
+    return cp, jnp.asarray(cost, jnp.float32)
+
+
+def test_order_statistics_match_sort_on_new_coverage():
+    """The per-rank side dispatch must read the same keys the full sort
+    would, on the class the round-5 analysis newly admits (equality rows
+    + small-hi long inequality rows)."""
+    import dataclasses
+
+    from baryonyx_tpu.ops.sweep import sweep
+
+    cp, cost = _compiled_nqueens(12)
+    assert cp.sel_reduction_ok
+    cp_sort = dataclasses.replace(cp, sel_reduction_ok=False)
+
+    kappa = jnp.full((R,), 0.15, jnp.float32)
+    amp = jnp.zeros((R,), jnp.float32)
+    outs = []
+    for c in (cp, cp_sort):
+        x, P, pi, sched, order = _state(c)
+        S = None
+        for it in range(3):
+            x, P, pi, S, viol, rem = sweep(
+                c, x, P, pi, cost, sched, order, kappa, jnp.float32(0.01),
+                jnp.float32(0.5), jax.random.key(it + 1), amp,
+                n_rows=None, minimize=True, block_size=8,
+                S=S, S_fresh=jnp.asarray(it != 0),
+            )
+            sched = viol
+        outs.append((np.asarray(x), np.asarray(P), np.asarray(pi),
+                     np.asarray(S), np.asarray(rem)))
+    _assert_parity(outs[0], outs[1])
+
+
+def test_psweep_interpret_parity_nqueens():
+    """Pallas parity on the newly admitted class: equality rows plus
+    ≤1 diagonal rows whose clip-hi ranks resolve from the bottom regs.
+
+    n-queens is tie-dominated: columns sit in 4 rows each, so dual
+    prices equilibrate (S_j → c_j - const) and reduced-cost gaps
+    collapse into the tie noise — selections become noise-stream-
+    defined (the reference shuffles ties for exactly this reason,
+    itm-common.hpp:117-132). Bit parity across the two streams cannot
+    hold; the right bar is that pallas-vs-jnp disagreement is no larger
+    than the jnp path's OWN disagreement across two tie-noise seeds.
+    Mixed-sign costs force cnt ≥ 2 on diagonal rows so clip-hi binds
+    and the bottom-register reads of the new rank coverage run."""
+    from baryonyx_tpu.ops.sweep import sweep
+
+    cp, _ = _compiled_nqueens(12)
+    n = cp.n
+    cost = jnp.asarray(
+        (np.arange(n) - n / 2) + 0.01 * ((np.arange(n) * 37) % 61),
+        jnp.float32,
+    )
+    (a, b), kplan = _run_pair(cp, cost, sweeps=1)
+
+    # jnp-vs-jnp flips across tie-noise seeds: the noise floor
+    kappa = jnp.full((R,), 0.15, jnp.float32)
+    amp = jnp.zeros((R,), jnp.float32)
+    xs = []
+    for seed in (1, 2):
+        x, P, pi, sched, order = _state(cp)
+        x, P, pi, S, viol, rem = sweep(
+            cp, x, P, pi, cost, sched, order, kappa, jnp.float32(0.01),
+            jnp.float32(0.5), jax.random.key(seed), amp,
+            n_rows=None, minimize=True, block_size=kplan.Bb,
+            S=None, S_fresh=jnp.asarray(False),
+        )
+        xs.append(np.asarray(x))
+    noise_floor = max(int(np.sum(xs[0] != xs[1])), 1)
+
+    mism = int(np.sum(a[0] != b[0]))
+    assert mism <= 2 * noise_floor, (
+        f"pallas-vs-jnp x disagreement {mism} exceeds 2x the tie-noise "
+        f"floor {noise_floor}: semantic divergence, not tie noise"
+    )
+
+
 @tpu_only
 def test_psweep_invariants():
     from baryonyx_tpu.ops import psweep as pw
