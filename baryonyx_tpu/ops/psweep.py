@@ -80,7 +80,12 @@ from baryonyx_tpu.ops.sweep import column_sums, violated_mask
 
 LANE = 128
 MAX_B = 16  # block buffer rows held in VMEM
-MAX_KR = 1024  # beyond this even Gc=1 block buffers blow VMEM
+# Hard ceiling on padded row length: the real gates are the VMEM/SMEM
+# budget checks in plan() (p_blk/keys_blk scale with Bb*Kr; table chunks
+# with Kr/128). Kr=1408 validated on hardware at Gc=1/Bb=4 (S-invariant
+# exact, jnp parity at the tie-noise floor); 2048 is the largest padded
+# bucket whose Bb=2 block buffers can still fit beside an n~8k state.
+MAX_KR = 2048
 # quadratic costs ride a dense [n, n] neighbor matrix; past this the
 # matmul + VMEM cost flips and the jnp sweep with per-slot gathers wins
 QUAD_DENSE_MAX_N = 8192

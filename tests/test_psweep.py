@@ -185,6 +185,33 @@ def test_plan_covers_benchmark_class():
     assert kplan is not None, "SPP long-row class must be Pallas-eligible"
 
 
+def test_plan_covers_kr_above_1024():
+    """Rows longer than 1024 slots (sppkl-class) plan onto the fused
+    kernel when the VMEM/SMEM budgets allow it — the old hard MAX_KR
+    gate silently dropped them to the jnp sweep (VERDICT r4 item 2).
+    Kr=1408 at Gc=1 validated on hardware (S-invariant exact)."""
+    from baryonyx_tpu.core.model import FunctionElement as CE
+    from baryonyx_tpu.ops import psweep as pw
+    from baryonyx_tpu.preprocess.merge import MergedConstraint
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    csts = []
+    for k in range(64):
+        sz = 1200 + int(rng.integers(0, 200))
+        vs = rng.choice(n, size=sz, replace=False)
+        csts.append(
+            MergedConstraint(
+                elements=[CE(1, int(j)) for j in vs], min=1, max=sz, id=k
+            )
+        )
+    cp = compile_problem(csts, n)
+    assert cp.Kr > 1024
+    kplan = pw.plan(cp, 512, jnp.float32, 8)
+    assert kplan is not None, "Kr in (1024, 2048] must be Pallas-eligible"
+    assert kplan.big
+
+
 def test_plan_covers_small_upper_bound_long_rows():
     """Rows with a small upper bound but a long body (n-queens ≤1
     diagonals, packing rows) must stay on the order-statistic selection
